@@ -1,0 +1,63 @@
+"""Shared building blocks for the pure-pytree model layer.
+
+Models in this framework are (init, apply) pairs over plain dict pytrees —
+no Module system. This keeps everything jit/pjit/shard_map-transparent and
+makes param-group labeling for optax.multi_transform trivial.
+
+Param groups reproduce `NerfBaseModel._add_param_group`
+(`barf/model_interpolation_architecture.py:11-29`): every group carries
+(learning_rate_start, learning_rate_stop, learning_rate_decay_end,
+weight_decay) and the optimizer builds one schedule per group.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ParamGroup:
+    """Hyperparameters of one optimizer param group (LeNice schedule knobs)."""
+
+    learning_rate_start: float
+    learning_rate_stop: float
+    learning_rate_decay_end: int  # in steps; <=0 disables decay
+    weight_decay: float = 0.0
+
+
+def linear_init(key: jax.Array, in_features: int, out_features: int, dtype=jnp.float32):
+    """torch nn.Linear default init: W, b ~ U(-1/sqrt(in), 1/sqrt(in)).
+
+    Stored as (in, out) so `x @ w + b` maps straight onto the MXU.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(in_features)
+    return {
+        "w": jax.random.uniform(kw, (in_features, out_features), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (out_features,), dtype, -bound, bound),
+    }
+
+
+def linear_apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """x @ W + b; optionally casts inputs/weights to a compute dtype (bf16)
+    while accumulating in fp32 (preferred_element_type) for MXU throughput."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return y + b
+
+
+def softplus8(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.Softplus(threshold=8): linear above 8 for stability."""
+    return jnp.where(x > 8.0, x, jax.nn.softplus(jnp.minimum(x, 8.0)))
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

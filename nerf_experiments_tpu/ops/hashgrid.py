@@ -1,0 +1,114 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style), 2-D and 3-D.
+
+Semantics from `2d-ingp/model.py:13-115` and `3d-ingp/model.py:14-121`:
+  * per-level table of (table_size, n_features), init U(-1e-4, 1e-4);
+  * BIJECTIVE dense indexing when table_size >= (res+1)^d — index =
+    sum(corner_i * (res+1)^i); otherwise spatial hash
+    xor(pi_i * x_i) mod table_size with primes (1, 2654435761, 805459861);
+  * 2^d corner gather with multilinear interpolation weights prod(1 - |dx|);
+  * geometric level progression b = exp((ln r_max - ln r_min)/(L-1)),
+    per-level resolution floor(r_min * b^l).
+
+TPU design: the gather over (B, 2^d) corner indices lowers to vectorized
+dynamic-gather; the backward pass is a segment-sum scatter-add into the
+table. All levels share one stacked (L, T, F) table parameter so the level
+loop is a vmap, not a Python-unrolled module list.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    dim: int  # 2 or 3
+    resolution_min: int = 16
+    resolution_max: int = 512
+    table_size: int = 2**16
+    n_features: int = 2
+    n_levels: int = 16
+    primes: Tuple[int, ...] = DEFAULT_PRIMES
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_features * self.n_levels
+
+    @property
+    def level_resolutions(self) -> Tuple[int, ...]:
+        if self.n_levels == 1:
+            return (self.resolution_min,)
+        b = math.exp(
+            (math.log(self.resolution_max) - math.log(self.resolution_min))
+            / (self.n_levels - 1)
+        )
+        return tuple(int(math.floor(self.resolution_min * b**l)) for l in range(self.n_levels))
+
+    def bijective(self, resolution: int) -> bool:
+        return self.table_size >= (resolution + 1) ** self.dim
+
+
+def init(key: jax.Array, cfg: HashGridConfig) -> Dict:
+    """One stacked table (L, T, F), U(-1e-4, 1e-4). Bijective levels only use
+    the first (res+1)^d rows; rows are padded to table_size for stacking."""
+    t = jax.random.uniform(
+        key, (cfg.n_levels, cfg.table_size, cfg.n_features), minval=-1e-4, maxval=1e-4
+    )
+    return {"table": t}
+
+
+def _corner_offsets(dim: int) -> jnp.ndarray:
+    """(2^d, d) binary corner offsets in the reference's idx_list order."""
+    n = 2**dim
+    bits = ((jnp.arange(n)[:, None] >> jnp.arange(dim - 1, -1, -1)[None, :]) & 1)
+    return bits.astype(jnp.int32)
+
+
+def _level_indices(
+    corners: jnp.ndarray, resolution: int, cfg: HashGridConfig
+) -> jnp.ndarray:
+    """corners (B, 2^d, d) int32 -> table row indices (B, 2^d)."""
+    if cfg.bijective(resolution):
+        corners = jnp.clip(corners, 0, resolution)
+        strides = jnp.array(
+            [(resolution + 1) ** i for i in range(cfg.dim)], dtype=jnp.uint32
+        )
+        return jnp.sum(corners.astype(jnp.uint32) * strides, axis=-1).astype(jnp.int32)
+    acc = corners[..., 0].astype(jnp.uint32) * jnp.uint32(cfg.primes[0])
+    for i in range(1, cfg.dim):
+        acc = jax.lax.bitwise_xor(
+            acc, corners[..., i].astype(jnp.uint32) * jnp.uint32(cfg.primes[i])
+        )
+    return (acc % jnp.uint32(cfg.table_size)).astype(jnp.int32)
+
+
+def _encode_level(
+    table: jnp.ndarray, x: jnp.ndarray, resolution: int, cfg: HashGridConfig
+) -> jnp.ndarray:
+    """x (B, d) in [0,1]^d -> (B, F) multilinearly interpolated features."""
+    x_scaled = x * resolution
+    x_floor = jnp.floor(x_scaled)
+    offsets = _corner_offsets(cfg.dim)  # (2^d, d)
+    corners = (x_floor[:, None, :].astype(jnp.int32) + offsets[None, :, :])  # (B, 2^d, d)
+
+    idx = _level_indices(corners, resolution, cfg)  # (B, 2^d)
+    features = table[idx]  # gather -> (B, 2^d, F)
+
+    x_diff = jnp.abs(x_scaled[:, None, :] - corners.astype(x.dtype))
+    weights = jnp.prod(1.0 - x_diff, axis=-1)  # (B, 2^d)
+    return jnp.sum(features * weights[..., None], axis=1)
+
+
+def encode(params: Dict, cfg: HashGridConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """x (B, d) in [0,1]^d -> (B, L*F) concatenated level features."""
+    outs = [
+        _encode_level(params["table"][l], x, res, cfg)
+        for l, res in enumerate(cfg.level_resolutions)
+    ]
+    return jnp.concatenate(outs, axis=-1)

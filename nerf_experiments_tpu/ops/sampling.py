@@ -1,0 +1,173 @@
+"""t-sampling along rays: stratified/equidistant init + inverse-CDF resampling.
+
+Reference semantics:
+  * `barf/model_interpolation.py:135-180` `_sample_t_stratified_uniform`:
+    n equally sized bins over [near, far], either one uniform sample per bin
+    ("stratified_uniform") or the left edges ("equidistant"); optionally the
+    whole comb shifted by a shared uniform offset in
+    [0, interval * offset_size) (offset_size may be negative).
+  * `:114-132` `_get_intervals`: t_start = t, t_end = next t (last = far).
+  * `:193-277` `_sample_t_pdf_weighted`: deterministic proposal-guided
+    re-sampling — each coarse bin receives floor(w_i * (n - n_bins)) (+1)
+    samples spread evenly inside the bin. That allocator is order-dependent
+    and self-repairing (SURVEY.md §7.3); here it is replaced by the
+    shape-static equivalent: deterministic inverse-CDF sampling with evenly
+    spaced quantiles and linear in-bin placement, which realizes the same
+    "evenly spread, density-proportional" distribution without the
+    pathological integer allocation loop.
+  * lindisp (uniform in inverse depth) init sampling for the nerfacc-style
+    proposal estimator (`barf/model_garf.py:222-233` sampling_type="lindisp").
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def intervals_from_t(t: jnp.ndarray, far: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """t (N, S) sorted -> (t_start, t_end) with t_end[-1] = far."""
+    t_start = t
+    t_end = jnp.concatenate([t[:, 1:], jnp.full_like(t[:, :1], far)], axis=1)
+    return t_start, t_end
+
+
+def sample_stratified(
+    key: Optional[jax.Array],
+    n_rays: int,
+    n_samples: int,
+    near: float,
+    far: float,
+    strategy: str = "stratified_uniform",
+    offset_size: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform-bin coarse sampling. Returns (t_start, t_end), each (N, S)."""
+    interval = (far - near) / n_samples
+    t = jnp.broadcast_to(
+        jnp.linspace(near, far - interval, n_samples), (n_rays, n_samples)
+    )
+    if strategy == "stratified_uniform":
+        if key is None:
+            raise ValueError("stratified_uniform requires a PRNG key")
+        key, sub = jax.random.split(key)
+        t = t + jax.random.uniform(sub, (n_rays, n_samples)) * interval
+    elif strategy == "equidistant":
+        pass
+    else:
+        raise ValueError(f"unknown sampling strategy {strategy!r}")
+
+    if offset_size != 0.0:
+        if key is None:
+            raise ValueError("offset_size != 0 requires a PRNG key")
+        _, sub = jax.random.split(key)
+        t = t + jax.random.uniform(sub, (n_rays, 1)) * interval * offset_size
+
+    return intervals_from_t(t, far)
+
+
+def t_query(t_start: jnp.ndarray, t_end: jnp.ndarray, strategy: str = "middle") -> jnp.ndarray:
+    """Integration query point per bin (`_get_t_query:279-286`)."""
+    if strategy == "left":
+        return t_start
+    if strategy == "middle":
+        return (t_start + t_end) / 2.0
+    raise ValueError(f"unknown integration strategy {strategy!r}")
+
+
+def sample_pdf(
+    t_edges: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Inverse-CDF resampling from a piecewise-constant PDF over bins.
+
+    t_edges: (N, B+1) bin edges; weights: (N, B) nonnegative bin masses.
+    Returns sorted t samples (N, n_samples). Deterministic (evenly spaced
+    quantiles) when key is None — the shape-static replacement for the
+    reference's allocator; stratified-jittered quantiles when key is given
+    (used by the proposal estimator during training).
+    """
+    n_rays, n_bins = weights.shape
+    w = weights + eps
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((n_rays, 1), w.dtype), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # (N, B+1), last column == 1
+
+    if key is None:
+        u = (jnp.arange(n_samples, dtype=w.dtype) + 0.5) / n_samples
+        u = jnp.broadcast_to(u, (n_rays, n_samples))
+    else:
+        u = (
+            jnp.arange(n_samples, dtype=w.dtype)[None, :]
+            + jax.random.uniform(key, (n_rays, n_samples), dtype=w.dtype)
+        ) / n_samples
+
+    # searchsorted per ray: index of the bin containing each quantile
+    idx = jnp.clip(
+        jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u) - 1,
+        0,
+        n_bins - 1,
+    )
+    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+    e_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
+    e_hi = jnp.take_along_axis(t_edges, idx + 1, axis=-1)
+
+    denom = jnp.where(cdf_hi - cdf_lo < eps, 1.0, cdf_hi - cdf_lo)
+    frac = (u - cdf_lo) / denom
+    return e_lo + frac * (e_hi - e_lo)
+
+
+def sample_pdf_weighted_intervals(
+    t_coarse_start: jnp.ndarray,
+    t_coarse_end: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    far: float,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for `_sample_t_pdf_weighted` (fine sampling).
+
+    Builds bin edges from the coarse intervals, inverse-CDF samples
+    n_samples points, sorts, and converts back to (t_start, t_end) bins.
+    """
+    edges = jnp.concatenate([t_coarse_start, t_coarse_end[:, -1:]], axis=1)
+    t = sample_pdf(edges, weights, n_samples, key=key)
+    t = jnp.sort(t, axis=-1)
+    return intervals_from_t(t, far)
+
+
+def lindisp_edges(
+    n_rays: int,
+    n_bins: int,
+    near: float,
+    far: float,
+    stratified: bool,
+    key: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bin edges uniform in inverse depth (nerfacc "lindisp"), (N, B+1).
+
+    With stratified=True the interior edges are jittered inside their cells
+    in s-space (s = normalized inverse depth), matching nerfacc's stratified
+    initial sampling semantics.
+    """
+    s = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=dtype)
+    s = jnp.broadcast_to(s, (n_rays, n_bins + 1))
+    if stratified:
+        if key is None:
+            raise ValueError("stratified lindisp requires a PRNG key")
+        delta = 1.0 / n_bins
+        jitter = (jax.random.uniform(key, (n_rays, n_bins + 1), dtype=dtype) - 0.5) * delta
+        # keep the outer edges pinned
+        pin = jnp.concatenate(
+            [jnp.zeros((n_rays, 1)), jnp.ones((n_rays, n_bins - 1)), jnp.zeros((n_rays, 1))],
+            axis=1,
+        )
+        s = s + jitter * pin
+    # s -> t uniform in disparity: 1/t = (1-s)/near + s/far
+    return 1.0 / ((1.0 - s) / near + s / far)

@@ -1,0 +1,264 @@
+"""BARF / vanilla-NeRF / Mip-NeRF training system (the flagship).
+
+Pure-function re-design of the reference's Lightning stack:
+  * `barf/model_interpolation.py:71-597` NerfInterpolation — hierarchical
+    stratified + PDF-weighted sampling, alpha compositing, MSE + PSNR;
+  * `barf/model_camera_calibration.py:19-346` CameraCalibrationModel —
+    extrinsics transform for train rays, Kabsch gauge for val rays;
+  * `barf/model_barf.py:12-92` BarfModel — per-step alpha annealing of the
+    encoders + alpha-coupled target blur;
+  * `barf/model_mip.py:18-304` MipNeRF/MipBarf — shared proposal==radiance
+    net with 0.1-weighted coarse loss, and the Mip sigma schedule driving
+    image blur + IPE pixel_width_sigma.
+
+One config covers all four reference entry points (run_barf / run_bip_barf /
+run_vanilla_as_barf / run_naive_as_barf); see `experiments/`.
+
+TPU notes: the whole train step (ray transform → sampling → MLP → composite
+→ loss → grads → optax update) is ONE jitted function with donated state;
+scalars (alpha, sigma, step) are traced inputs so schedules never retrace.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_experiments_tpu.cameras import calibration, extrinsics
+from nerf_experiments_tpu.data.sampler import blurred_pixel_colors
+from nerf_experiments_tpu.models import nerf_mlp
+from nerf_experiments_tpu.models.common import ParamGroup
+from nerf_experiments_tpu.ops import render, sampling
+from nerf_experiments_tpu.ops.metrics import psnr
+from nerf_experiments_tpu.training import optim
+from nerf_experiments_tpu.training.schedules import barf_sigma_alpha
+
+
+@dataclasses.dataclass(frozen=True)
+class BarfConfig:
+    radiance: nerf_mlp.NerfMLPConfig
+    n_training_images: int
+    near: float = 2.0
+    far: float = 8.0
+    samples_per_ray_radiance: int = 128
+    samples_per_ray_proposal: int = 0  # 0 => no hierarchical sampling
+    proposal: Optional[nerf_mlp.NerfMLPConfig] = None  # None => share radiance
+    share_proposal_net: bool = False  # MipNeRF style (model_mip.py:36)
+    uniform_sampling_strategy: str = "stratified_uniform"
+    uniform_sampling_offset_size: float = 0.0
+    integration_strategy: str = "middle"
+    coarse_loss_weight: float = 1.0  # MipNeRF uses 0.1 (model_mip.py:73)
+
+    optimize_camera: bool = True
+    camera_learning_rate_start: float = 1e-3
+    camera_learning_rate_stop: float = 1e-5
+    camera_learning_rate_decay_end: int = 200_000
+
+    max_gaussian_sigma: float = 0.0
+    gaussian_blur_sigmas: Tuple[float, ...] = (0.0, 0.0)
+
+    @property
+    def use_proposal(self) -> bool:
+        return self.samples_per_ray_proposal > 0
+
+    @property
+    def camera_group(self) -> ParamGroup:
+        return ParamGroup(
+            self.camera_learning_rate_start,
+            self.camera_learning_rate_stop,
+            self.camera_learning_rate_decay_end,
+        )
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init(key: jax.Array, cfg: BarfConfig) -> TrainState:
+    k_rad, k_prop = jax.random.split(key)
+    params: Dict = {"radiance": nerf_mlp.init(k_rad, cfg.radiance)}
+    if cfg.use_proposal and not cfg.share_proposal_net:
+        prop_cfg = cfg.proposal if cfg.proposal is not None else cfg.radiance
+        params["proposal"] = nerf_mlp.init(k_prop, prop_cfg)
+    params["camera"] = extrinsics.init(cfg.n_training_images)
+    tx = make_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+
+
+def make_optimizer(cfg: BarfConfig, params: Dict) -> optax.GradientTransformation:
+    groups = {"radiance": cfg.radiance.param_group, "camera": cfg.camera_group}
+    labels = {
+        "radiance": optim.constant_labels(params["radiance"], "radiance"),
+        "camera": optim.constant_labels(params["camera"], "camera"),
+    }
+    if "proposal" in params:
+        prop_cfg = cfg.proposal if cfg.proposal is not None else cfg.radiance
+        groups["proposal"] = prop_cfg.param_group
+        labels["proposal"] = optim.constant_labels(params["proposal"], "proposal")
+    if not cfg.optimize_camera:
+        groups["camera"] = ParamGroup(0.0, 0.0, 0)
+    return optim.multi_group_adam(groups, labels)
+
+
+def _eval_model(cfg_mlp, params, origs, dirs, t_start, t_end, pixel_width,
+                alpha_pos, alpha_dir, integration_strategy, pixel_width_sigma=0.0):
+    """Positions from t bins -> flattened MLP eval -> (density, rgb) grouped.
+
+    Mirrors `_compute_positions:288-312` + `_compute_color:356-414`.
+    """
+    n_rays, n_samples = t_start.shape
+    t_q = sampling.t_query(t_start, t_end, integration_strategy)
+    pos = origs[:, None, :] + t_q[..., None] * dirs[:, None, :]
+    dirs_rep = jnp.broadcast_to(dirs[:, None, :], pos.shape)
+
+    flat = lambda x, d: x.reshape(n_rays * n_samples, d)
+    density, rgb = nerf_mlp.apply(
+        params, cfg_mlp,
+        flat(pos, 3), flat(dirs_rep, 3),
+        pixel_width=jnp.broadcast_to(pixel_width, (n_rays, n_samples)).reshape(-1, 1),
+        t_start=flat(t_start[..., None], 1), t_end=flat(t_end[..., None], 1),
+        alpha_pos=alpha_pos, alpha_dir=alpha_dir,
+        pixel_width_sigma=pixel_width_sigma,
+    )
+    return density.reshape(n_rays, n_samples), rgb.reshape(n_rays, n_samples, 3)
+
+
+def forward(
+    params: Dict,
+    cfg: BarfConfig,
+    key: Optional[jax.Array],
+    ray_origs: jnp.ndarray,
+    ray_dirs: jnp.ndarray,
+    pixel_width: jnp.ndarray,
+    alpha_pos: Optional[jnp.ndarray] = None,
+    alpha_dir: Optional[jnp.ndarray] = None,
+    pixel_width_sigma: float = 0.0,
+    stratified: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(rgb_fine, rgb_coarse|None) — `NerfInterpolation.forward:417-486`."""
+    n_rays = ray_origs.shape[0]
+    strategy = cfg.uniform_sampling_strategy if stratified else "equidistant"
+    offset = cfg.uniform_sampling_offset_size if stratified else 0.0
+    needs_key = strategy == "stratified_uniform" or offset != 0.0
+    k1 = key if needs_key else None
+
+    if cfg.use_proposal:
+        tc_start, tc_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far, strategy, offset
+        )
+        prop_params = params.get("proposal", params["radiance"])
+        prop_cfg = (cfg.proposal if cfg.proposal is not None else cfg.radiance)
+        if cfg.share_proposal_net:
+            prop_params, prop_cfg = params["radiance"], cfg.radiance
+        dens_c, rgb_c_samples = _eval_model(
+            prop_cfg, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
+            pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
+        )
+        rgb_coarse, weights = render.render_rays(dens_c, rgb_c_samples, tc_end - tc_start)
+        tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
+            tc_start, tc_end, jax.lax.stop_gradient(weights),
+            cfg.samples_per_ray_radiance, cfg.far,
+        )
+        tf_start = jax.lax.stop_gradient(tf_start)
+        tf_end = jax.lax.stop_gradient(tf_end)
+    else:
+        tf_start, tf_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_radiance, cfg.near, cfg.far, strategy, offset
+        )
+        rgb_coarse = None
+
+    dens_f, rgb_f_samples = _eval_model(
+        cfg.radiance, params["radiance"], ray_origs, ray_dirs, tf_start, tf_end,
+        pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
+    )
+    rgb_fine, _ = render.render_rays(dens_f, rgb_f_samples, tf_end - tf_start)
+    return rgb_fine, rgb_coarse
+
+
+def loss_fn(
+    params: Dict,
+    cfg: BarfConfig,
+    batch: Dict,
+    key: jax.Array,
+    alpha_pos: jnp.ndarray,
+    alpha_dir: jnp.ndarray,
+    blur_sigma: jnp.ndarray,
+    pixel_width_sigma: float = 0.0,
+    train: bool = True,
+    val_gauge=None,
+):
+    """Full training/val objective (`BarfModel._step_helper:29-92`)."""
+    if train:
+        origs, dirs = calibration.training_transform_rays(
+            params["camera"], batch["img_idx"], batch["origs_noisy"], batch["dirs_noisy"]
+        )
+    else:
+        origs, dirs = calibration.validation_transform_rays(
+            batch["origs_raw"], batch["dirs_raw"], val_gauge
+        )
+
+    colors = blurred_pixel_colors(batch["colors"], cfg.gaussian_blur_sigmas, blur_sigma)
+    target = colors[:, 0]
+
+    rgb_fine, rgb_coarse = forward(
+        params, cfg, key, origs, dirs, batch["pixel_width"],
+        alpha_pos, alpha_dir, pixel_width_sigma, stratified=train,
+    )
+    loss_fine = jnp.mean((rgb_fine - target) ** 2)
+    loss = loss_fine
+    metrics = {"loss_fine": loss_fine, "psnr": psnr(loss_fine)}
+    if rgb_coarse is not None:
+        loss_coarse = jnp.mean((rgb_coarse - target) ** 2)
+        loss = loss + cfg.coarse_loss_weight * loss_coarse
+        metrics["loss_coarse"] = loss_coarse
+    return loss, metrics
+
+
+def train_step(
+    state: TrainState,
+    cfg: BarfConfig,
+    tx: optax.GradientTransformation,
+    batch: Dict,
+    key: jax.Array,
+    alpha_pos: jnp.ndarray,
+    alpha_dir: jnp.ndarray,
+    blur_sigma: jnp.ndarray,
+    pixel_width_sigma: float = 0.0,
+) -> Tuple[TrainState, Dict]:
+    """One optimization step: grads + NaN guard + multi-group Adam update."""
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, key, alpha_pos, alpha_dir, blur_sigma, pixel_width_sigma
+    )
+    grads, ok = optim.guard_nonfinite(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics, loss=loss, grads_finite=ok)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+
+
+def make_train_step(cfg: BarfConfig, tx: optax.GradientTransformation, donate: bool = True):
+    """jit-compiled train step closure over static config."""
+    fn = lambda state, batch, key, a_pos, a_dir, sigma: train_step(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def pose_error_metric(params: Dict, camera_origins_raw, camera_origins_noisy):
+    return calibration.compute_pose_error(
+        params["camera"], camera_origins_raw, camera_origins_noisy
+    )
+
+
+def val_gauge(params: Dict, camera_origins_raw, camera_origins_noisy):
+    """Kabsch raw->pred similarity used by validation_transform."""
+    return calibration.post_transform_params(
+        params["camera"], camera_origins_raw, camera_origins_noisy, from_raw_to_pred=True
+    )

@@ -1,0 +1,66 @@
+"""Multi-group optimizer: optax Adam with per-group LeNice schedules.
+
+Reproduces the reference's two optimizer styles with ONE optax transform:
+  (a) single Adam(eps=1e-5) over NerfBaseModel param_groups + SchedulerLeNice
+      (`barf/model_interpolation.py:543-584`);
+  (b) garf's one-Adam-per-subnet manual optimization with per-subnet
+      ExponentialLR (`garf/model_garf.py:365-428`) — Adam state is per-leaf,
+      so N separate Adams over disjoint trees == one multi_transform'd Adam
+      with per-label schedules; the update math is identical.
+
+NaN containment: the reference swaps a NaN loss for a dummy constant so the
+step becomes a no-op (`model_interpolation.py:522-525`,
+`model_garf.py:283-289`). Here `guard_nonfinite` zeroes the gradient tree
+when any leaf is non-finite — same effect (no parameter motion, optimizer
+state untouched by garbage), branchless and jit-safe.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_experiments_tpu.models.common import ParamGroup
+from nerf_experiments_tpu.training.schedules import garf_exponential, le_nice
+
+
+def multi_group_adam(
+    groups: Dict[str, ParamGroup],
+    labels,
+    eps: float = 1e-5,
+    schedule_kind: str = "le_nice",
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """Build the optimizer.
+
+    groups: label -> ParamGroup hyperparameters.
+    labels: pytree (same structure as params) of label strings, or a callable
+            params -> labels for optax.multi_transform.
+    """
+    schedule_fn = le_nice if schedule_kind == "le_nice" else garf_exponential
+    transforms = {}
+    for label, g in groups.items():
+        sched = schedule_fn(g.learning_rate_start, g.learning_rate_stop, g.learning_rate_decay_end)
+        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=eps)]
+        if g.weight_decay:
+            chain.append(optax.add_decayed_weights(g.weight_decay))
+        chain.append(optax.scale_by_schedule(lambda s, _f=sched: -_f(s)))
+        transforms[label] = optax.chain(*chain)
+    return optax.multi_transform(transforms, labels)
+
+
+def guard_nonfinite(grads):
+    """Zero the whole gradient tree if ANY leaf contains a non-finite value."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    ok = jnp.array(True)
+    for leaf in leaves:
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+    return jax.tree_util.tree_map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads), ok
+
+
+def constant_labels(params, label: str):
+    """Label every leaf of a subtree with the same group label."""
+    return jax.tree_util.tree_map(lambda _: label, params)

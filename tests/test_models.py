@@ -1,0 +1,203 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_experiments_tpu.encodings.fourier import Barf, Fourier, Identity
+from nerf_experiments_tpu.models import common, garf, ingp, nerf2d, nerf_mlp, siren
+from nerf_experiments_tpu.ops import hashgrid
+
+
+def _mlp_cfg(**kw):
+    defaults = dict(
+        position_encoder=Barf(levels=4, scale=1.0, include_identity=True),
+        direction_encoder=Barf(levels=2, scale=1.0, include_identity=True),
+        n_hidden=2,
+        hidden_dim=64,
+        delayed_direction=True,
+        delayed_density=False,
+        n_segments=2,
+    )
+    defaults.update(kw)
+    return nerf_mlp.NerfMLPConfig(**defaults)
+
+
+class TestNerfMLP:
+    def test_shapes_and_ranges(self):
+        cfg = _mlp_cfg()
+        params = nerf_mlp.init(jax.random.PRNGKey(0), cfg)
+        B = 32
+        pos = jax.random.normal(jax.random.PRNGKey(1), (B, 3))
+        dir = jax.random.normal(jax.random.PRNGKey(2), (B, 3))
+        density, rgb = nerf_mlp.apply(
+            params, cfg, pos, dir,
+            pixel_width=jnp.full((B, 1), 0.01),
+            t_start=jnp.full((B, 1), 3.0), t_end=jnp.full((B, 1), 3.1),
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+        )
+        assert density.shape == (B,) and rgb.shape == (B, 3)
+        assert (np.asarray(density) >= 0).all()
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+    @pytest.mark.parametrize("delayed_direction,delayed_density,n_segments",
+                             [(True, False, 1), (False, False, 2),
+                              (True, True, 2), (False, True, 3)])
+    def test_all_variants(self, delayed_direction, delayed_density, n_segments):
+        cfg = _mlp_cfg(delayed_direction=delayed_direction,
+                       delayed_density=delayed_density, n_segments=n_segments)
+        params = nerf_mlp.init(jax.random.PRNGKey(0), cfg)
+        density, rgb = nerf_mlp.apply(
+            params, cfg, jnp.ones((8, 3)), jnp.ones((8, 3)),
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+        )
+        assert density.shape == (8,) and rgb.shape == (8, 3)
+        assert np.isfinite(np.asarray(density)).all()
+
+    def test_differentiable(self):
+        cfg = _mlp_cfg()
+        params = nerf_mlp.init(jax.random.PRNGKey(0), cfg)
+
+        def loss(p):
+            d, rgb = nerf_mlp.apply(p, cfg, jnp.ones((8, 3)) * 0.2, jnp.ones((8, 3)),
+                                    alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0))
+            return jnp.sum(rgb) + jnp.sum(d)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestGarf:
+    @pytest.mark.parametrize("activation", ["gauss", "gabor", "sarf"])
+    def test_radiance_and_proposal(self, activation):
+        cfg = garf.GarfConfig(activation=activation, init_min=0.5, init_max=2.0)
+        rp = garf.radiance_init(jax.random.PRNGKey(0), cfg)
+        pp = garf.proposal_init(jax.random.PRNGKey(1), cfg)
+        pos = jax.random.normal(jax.random.PRNGKey(2), (16, 3)) * 0.3
+        dir = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+        rgb, density = garf.radiance_apply(rp, cfg, pos, dir)
+        sigma = garf.proposal_apply(pp, cfg, pos)
+        assert rgb.shape == (16, 3) and density.shape == (16,) and sigma.shape == (16,)
+        assert (np.asarray(density) >= 0).all() and (np.asarray(sigma) >= 0).all()
+
+    def test_param_labels_cover_tree(self):
+        cfg = garf.GarfConfig()
+        rp = garf.radiance_init(jax.random.PRNGKey(0), cfg)
+        labels = garf.param_labels(rp, "lin", "act")
+        flat_p = jax.tree_util.tree_leaves(rp)
+        flat_l = jax.tree_util.tree_leaves(labels)
+        assert len(flat_p) == len(flat_l)
+        assert set(flat_l) == {"lin", "act"}
+
+    def test_gradients_flow_to_activation_params(self):
+        cfg = garf.GarfConfig(init_min=0.5, init_max=2.0)
+        rp = garf.radiance_init(jax.random.PRNGKey(0), cfg)
+
+        def loss(p):
+            rgb, d = garf.radiance_apply(p, cfg, jnp.ones((4, 3)) * 0.1, jnp.ones((4, 3)))
+            return jnp.sum(rgb)
+
+        g = jax.grad(loss)(rp)
+        act_grad = float(jnp.abs(g["density1"]["act"][0]["isd"]).sum())
+        assert act_grad > 0
+
+
+class TestSiren:
+    def test_forward(self):
+        cfg = siren.SirenConfig(input_scale=30.0)
+        params = siren.init(jax.random.PRNGKey(0), cfg)
+        d, rgb = siren.apply(params, cfg, jnp.ones((8, 3)) * 0.1, jnp.ones((8, 3)))
+        assert d.shape == (8,) and rgb.shape == (8, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
+
+
+class TestNerf2d:
+    def test_forward(self):
+        cfg = nerf2d.Nerf2dConfig(fourier_levels=6, hidden_dim=64)
+        params = nerf2d.init(jax.random.PRNGKey(0), cfg)
+        rgb = nerf2d.apply(params, cfg, jax.random.uniform(jax.random.PRNGKey(1), (32, 2)))
+        assert rgb.shape == (32, 3)
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+
+class TestHashGrid:
+    def test_bijective_matches_hashed_at_low_res(self):
+        # `2d-ingp/model.py:22-31`: with a huge table, hashing is injective
+        # enough that hashed == bijective indexing result for interpolation.
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64, 2)) * 0.95
+        cfg_b = hashgrid.HashGridConfig(dim=2, resolution_min=8, resolution_max=8,
+                                        table_size=128, n_features=2, n_levels=1)
+        assert cfg_b.bijective(8)
+        params = hashgrid.init(jax.random.PRNGKey(1), cfg_b)
+        out_b = hashgrid.encode(params, cfg_b, x)
+        assert out_b.shape == (64, 2)
+        assert np.isfinite(np.asarray(out_b)).all()
+
+    def test_interpolation_exact_at_corners(self):
+        # At exact grid corners only one corner weight is 1: output = that row.
+        cfg = hashgrid.HashGridConfig(dim=2, resolution_min=4, resolution_max=4,
+                                      table_size=64, n_features=2, n_levels=1)
+        params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+        x = jnp.array([[0.25, 0.5]])  # corner (1, 2) at res 4
+        out = hashgrid.encode(params, cfg, x)
+        idx = 1 * 1 + 2 * 5  # bijective stride (res+1)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(params["table"][0, idx]), atol=1e-6)
+
+    def test_interpolation_is_multilinear(self):
+        # Numpy cross-check of the corner-weight formula
+        # (`2d-ingp/test_interpolation.py` parity).
+        cfg = hashgrid.HashGridConfig(dim=2, resolution_min=4, resolution_max=4,
+                                      table_size=64, n_features=1, n_levels=1)
+        params = hashgrid.init(jax.random.PRNGKey(3), cfg)
+        table = np.asarray(params["table"][0])
+        x = np.array([[0.3, 0.6]])
+        xs = x * 4
+        f = np.floor(xs).astype(int)
+        out_expected = 0.0
+        for di in (0, 1):
+            for dj in (0, 1):
+                cx, cy = f[0, 0] + di, f[0, 1] + dj
+                w = (1 - abs(xs[0, 0] - cx)) * (1 - abs(xs[0, 1] - cy))
+                out_expected += table[cx * 1 + cy * 5, 0] * w
+        out = float(hashgrid.encode(params, cfg, jnp.asarray(x))[0, 0])
+        np.testing.assert_allclose(out, out_expected, atol=1e-6)
+
+    def test_3d_grid_and_gradients(self):
+        cfg = hashgrid.HashGridConfig(dim=3, resolution_min=4, resolution_max=16,
+                                      table_size=512, n_features=2, n_levels=4)
+        params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3)) * 0.9
+
+        def loss(p):
+            return jnp.sum(hashgrid.encode(p, cfg, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["table"]).sum()) > 0
+
+    def test_level_resolutions_geometric(self):
+        cfg = hashgrid.HashGridConfig(dim=2, resolution_min=16, resolution_max=256,
+                                      table_size=2**14, n_features=2, n_levels=5)
+        res = cfg.level_resolutions
+        assert res[0] == 16 and res[-1] == 256
+        assert all(res[i] < res[i + 1] for i in range(4))
+
+
+class TestIngpModels:
+    def test_gigapixel(self):
+        grid = hashgrid.HashGridConfig(dim=2, resolution_min=4, resolution_max=32,
+                                       table_size=256, n_features=2, n_levels=4)
+        cfg = ingp.GigapixelConfig(grid=grid, n_hidden=1, hidden_dim=32)
+        params = ingp.gigapixel_init(jax.random.PRNGKey(0), cfg)
+        rgb = ingp.gigapixel_apply(params, cfg, jax.random.uniform(jax.random.PRNGKey(1), (16, 2)))
+        assert rgb.shape == (16, 3)
+
+    def test_nerf_ingp(self):
+        grid = hashgrid.HashGridConfig(dim=3, resolution_min=4, resolution_max=32,
+                                       table_size=512, n_features=2, n_levels=4)
+        cfg = ingp.NerfINGPConfig(grid=grid, n_hidden=1, hidden_dim=32)
+        params = ingp.nerf_ingp_init(jax.random.PRNGKey(0), cfg)
+        pos = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        dir = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+        density, rgb = ingp.nerf_ingp_apply(params, cfg, pos, dir)
+        assert density.shape == (16,) and rgb.shape == (16, 3)
