@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_experiments_tpu.encodings.fourier import Barf
+from nerf_experiments_tpu.models import garf, nerf_mlp
+from nerf_experiments_tpu.systems import barf as barf_sys
+from nerf_experiments_tpu.systems import garf_system
+
+
+def _tiny_mlp_cfg():
+    return nerf_mlp.NerfMLPConfig(
+        position_encoder=Barf(levels=4, scale=1.0, include_identity=True),
+        direction_encoder=Barf(levels=2, scale=1.0, include_identity=True),
+        n_hidden=1, hidden_dim=32, n_segments=2,
+        learning_rate_start=5e-4, learning_rate_stop=1e-5,
+        learning_rate_decay_end=1000,
+    )
+
+
+def _fake_batch(key, b=16, n_imgs=4, n_sigmas=2):
+    ks = jax.random.split(key, 6)
+    dirs = jax.random.normal(ks[1], (b, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return {
+        "origs_raw": jax.random.normal(ks[0], (b, 3)),
+        "origs_noisy": jax.random.normal(ks[2], (b, 3)),
+        "dirs_raw": dirs,
+        "dirs_noisy": dirs,
+        "colors": jax.random.uniform(ks[3], (b, n_sigmas, 3)),
+        "img_idx": jax.random.randint(ks[4], (b,), 0, n_imgs),
+        "pixel_width": jnp.full((b, 1), 0.005),
+    }
+
+
+class TestBarfSystem:
+    def _cfg(self, **kw):
+        defaults = dict(
+            radiance=_tiny_mlp_cfg(), n_training_images=4,
+            samples_per_ray_radiance=16, samples_per_ray_proposal=0,
+        )
+        defaults.update(kw)
+        return barf_sys.BarfConfig(**defaults)
+
+    def test_forward_shapes(self):
+        cfg = self._cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        rgb, coarse = barf_sys.forward(
+            state.params, cfg, jax.random.PRNGKey(2),
+            batch["origs_raw"], batch["dirs_raw"], batch["pixel_width"],
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+        )
+        assert rgb.shape == (16, 3) and coarse is None
+
+    def test_proposal_path(self):
+        cfg = self._cfg(samples_per_ray_proposal=8, samples_per_ray_radiance=16)
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        rgb, coarse = barf_sys.forward(
+            state.params, cfg, jax.random.PRNGKey(2),
+            batch["origs_raw"], batch["dirs_raw"], batch["pixel_width"],
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+        )
+        assert rgb.shape == (16, 3) and coarse.shape == (16, 3)
+
+    def test_train_step_reduces_loss_and_moves_camera(self):
+        cfg = self._cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        tx = barf_sys.make_optimizer(cfg, state.params)
+        step = barf_sys.make_train_step(cfg, tx, donate=False)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        a = jnp.asarray(4.0)
+        d = jnp.asarray(2.0)
+        sigma = jnp.asarray(0.0)
+        cam_before = np.asarray(state.params["camera"]["translation"]).copy()
+        losses = []
+        for i in range(10):
+            state, metrics = step(state, batch, jax.random.PRNGKey(10 + i), a, d, sigma)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 10
+        cam_after = np.asarray(state.params["camera"]["translation"])
+        assert np.abs(cam_after - cam_before).max() > 0  # camera is learning
+
+    def test_val_gauge_and_pose_error(self):
+        cfg = self._cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        raw = jax.random.normal(jax.random.PRNGKey(5), (4, 3))
+        noisy = raw + 0.05
+        gauge = barf_sys.val_gauge(state.params, raw, noisy)
+        assert len(gauge) == 3
+        err = barf_sys.pose_error_metric(state.params, raw, noisy)
+        assert np.isfinite(float(err))
+
+
+class TestGarfSystem:
+    def _cfg(self):
+        return garf_system.GarfSystemConfig(
+            n_train_images=4, proposal_samples_per_ray=8, radiance_samples_per_ray=16,
+            net=garf.GarfConfig(init_min=0.5, init_max=2.0,
+                                learning_rate_decay_end=1000),
+        )
+
+    def test_forward_and_train_step(self):
+        cfg = self._cfg()
+        state = garf_system.init(jax.random.PRNGKey(0), cfg)
+        tx = garf_system.make_optimizer(cfg, state.params)
+        step = garf_system.make_train_step(cfg, tx, donate=False)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.PRNGKey(20 + i))
+            losses.append(float(metrics["loss"]))
+            assert np.isfinite(losses[-1])
+        assert losses[-1] < losses[0]
+
+    def test_forward_deterministic_in_eval(self):
+        cfg = self._cfg()
+        state = garf_system.init(jax.random.PRNGKey(0), cfg)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        out1 = garf_system.forward(state.params, cfg, None,
+                                   batch["origs_raw"], batch["dirs_raw"], stratified=False)
+        out2 = garf_system.forward(state.params, cfg, None,
+                                   batch["origs_raw"], batch["dirs_raw"], stratified=False)
+        np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]))
