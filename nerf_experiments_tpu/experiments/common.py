@@ -1,0 +1,211 @@
+"""Shared experiment wiring: scene resolution, stores, loggers, BARF system
+assembly. Replaces the reference's 14 copy-evolved run scripts with one
+builder + thin CLIs (SURVEY.md §7.1 design delta)."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import tempfile
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_experiments_tpu.cameras import calibration
+from nerf_experiments_tpu.data import blender, sampler, synthetic
+from nerf_experiments_tpu.systems import barf as barf_sys
+from nerf_experiments_tpu.training import loggers, schedules
+from nerf_experiments_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def resolve_scene(scene_path: str, image_size: int) -> str:
+    """Resolve a scene path; "synthetic" generates a procedural Blender-format
+    scene into a cache dir (the lego data is not shipped with this repo)."""
+    if scene_path != "synthetic":
+        return scene_path
+    cache = os.path.join(tempfile.gettempdir(), f"netpu_synth_{image_size}")
+    if not os.path.exists(os.path.join(cache, "transforms_train.json")):
+        synthetic.generate_dataset(cache, image_size=image_size)
+    return cache
+
+
+def blur_sigmas_from_start(start_blur_sigma: float, n_blur_sigmas: int) -> Tuple[float, ...]:
+    """The reference's geometric blur-sigma ladder (`barf/run_barf.py:48-53`):
+    2^linspace(-1, log2(start), n-1) reversed, then 0.0 appended."""
+    if start_blur_sigma <= 0.25:
+        return (0.0, 0.0)
+    if n_blur_sigmas <= 2:
+        return (start_blur_sigma, 0.0)
+    exps = np.linspace(-1, math.log2(start_blur_sigma), n_blur_sigmas - 1)
+    ladder = [round(float(2.0**e), 2) for e in exps[::-1]]
+    return tuple(ladder + [0.0])
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene_path", type=str, default="synthetic",
+                   help="Blender dataset dir, or 'synthetic' for the generated scene")
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--max_epochs", type=int, default=100)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--out_dir", type=str, default="runs/latest")
+    p.add_argument("--seed", type=int, default=134534)
+    p.add_argument("--wandb", action="store_true", default=False)
+    p.add_argument("--bf16", action="store_true", default=False)
+
+
+@dataclasses.dataclass
+class BarfExperiment:
+    cfg: barf_sys.BarfConfig
+    state: barf_sys.TrainState
+    trainer: Trainer
+    dm: blender.DataModule
+    train_store: sampler.RayStore
+
+    def fit(self):
+        return self.trainer.fit(self.state)
+
+
+def build_barf_experiment(
+    cfg: barf_sys.BarfConfig,
+    dm: blender.DataModule,
+    trainer_cfg: TrainerConfig,
+    out_dir: str,
+    use_wandb: bool = False,
+    wandb_name: Optional[str] = None,
+    alpha_schedules=None,  # (pos_alpha_fn(epoch), dir_alpha_fn(epoch)) or None
+    image_log_names: Tuple[Sequence[str], Sequence[str]] = ((), ()),
+    checkpoint_keep: Optional[int] = None,
+) -> BarfExperiment:
+    dm.setup("fit")
+    train_store = sampler.make_ray_store(dm.dataset_train)
+    val_store = sampler.make_ray_store(dm.dataset_val) if dm.dataset_val else None
+
+    key = jax.random.PRNGKey(trainer_cfg.seed)
+    state = barf_sys.init(key, cfg)
+    tx = barf_sys.make_optimizer(cfg, state.params)
+    step_fn = barf_sys.make_train_step(cfg, tx, donate=True)
+
+    pos_enc = cfg.radiance.position_encoder
+    dir_enc = cfg.radiance.direction_encoder
+
+    def scalar_fn(step: int, epoch_frac: float):
+        if alpha_schedules is not None:
+            a_pos = alpha_schedules[0](epoch_frac)
+            a_dir = alpha_schedules[1](epoch_frac)
+        else:
+            a_pos = (
+                pos_enc.alpha_at(epoch_frac)
+                if hasattr(pos_enc, "alpha_at")
+                else jnp.asarray(0.0)
+            )
+            a_dir = (
+                dir_enc.alpha_at(epoch_frac)
+                if hasattr(dir_enc, "alpha_at")
+                else jnp.asarray(0.0)
+            )
+        sigma = schedules.barf_sigma_alpha(jnp.asarray(a_pos), cfg.max_gaussian_sigma)
+        return (jnp.asarray(a_pos), jnp.asarray(a_dir), sigma)
+
+    raw = train_store.camera_origins_raw
+    noisy = train_store.camera_origins_noisy
+
+    pose_fn = jax.jit(lambda params: barf_sys.pose_error_metric(params, raw, noisy))
+
+    @jax.jit
+    def val_step(params, batch):
+        gauge = barf_sys.val_gauge(params, raw, noisy)
+        n_steps = trainer_cfg.max_epochs  # alpha at current point ~ use full alpha
+        a_pos = jnp.asarray(float(getattr(pos_enc, "levels", 0)))
+        a_dir = jnp.asarray(float(getattr(dir_enc, "levels", 0)))
+        _, metrics = barf_sys.loss_fn(
+            params, cfg, batch, jax.random.PRNGKey(0), a_pos, a_dir,
+            jnp.asarray(0.0), train=False, val_gauge=gauge,
+        )
+        return metrics
+
+    metric_logger = loggers.MetricLogger(
+        out_dir, use_wandb=use_wandb,
+        wandb_kwargs={"project": "nerf-experiments", "name": wandb_name},
+    )
+
+    # image reconstruction callback (tapered like the reference's)
+    callbacks = []
+    train_names, val_names = image_log_names
+    if train_names or val_names:
+
+        @jax.jit
+        def render_train(params, origs, dirs, pw, img_idx):
+            o, d = calibration.training_transform_rays(
+                params["camera"], jnp.full((origs.shape[0],), img_idx, jnp.int32), origs, dirs
+            )
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, o, d, pw,
+                jnp.asarray(float(getattr(pos_enc, "levels", 0))),
+                jnp.asarray(float(getattr(dir_enc, "levels", 0))),
+                stratified=False,
+            )
+            return jnp.clip(rgb, 0.0, 1.0)
+
+        @jax.jit
+        def render_val(params, origs, dirs, pw):
+            gauge = barf_sys.val_gauge(params, raw, noisy)
+            o, d = calibration.validation_transform_rays(origs, dirs, gauge)
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, o, d, pw,
+                jnp.asarray(float(getattr(pos_enc, "levels", 0))),
+                jnp.asarray(float(getattr(dir_enc, "levels", 0))),
+                stratified=False,
+            )
+            return jnp.clip(rgb, 0.0, 1.0)
+
+        def render_fn(params, origs, dirs, pw, train_space, img_idx):
+            if train_space:
+                return render_train(params, jnp.asarray(origs), jnp.asarray(dirs),
+                                    jnp.asarray(pw), img_idx)
+            return render_val(params, jnp.asarray(origs), jnp.asarray(dirs), jnp.asarray(pw))
+
+        img_logger = loggers.ImageReconstructionLogger(
+            render_fn=render_fn,
+            metric_logger=metric_logger,
+            train_image_names=train_names,
+            validation_image_names=val_names,
+            schedule=loggers.TaperSchedule(0.002, 1 / 24, 1.0, 5.0),
+        )
+        callbacks.append(
+            lambda trainer, state, step, ef: img_logger.maybe_log(ef, step, state.params, dm)
+        )
+
+        point_logger = loggers.CameraPointLogger(
+            predict_origins_fn=jax.jit(
+                lambda params: calibration.predicted_train_origins(params["camera"], noisy)
+            ),
+            metric_logger=metric_logger,
+            schedule=loggers.TaperSchedule(0.0, 1 / 200, 1 / 16, 4.0),
+        )
+        callbacks.append(
+            lambda trainer, state, step, ef: point_logger.maybe_log(ef, step, state.params, raw)
+        )
+
+    ckpt_mgr = None
+    if trainer_cfg.checkpoint_every_n_epochs:
+        from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(os.path.join(out_dir, "ckpt"), keep=checkpoint_keep)
+
+    trainer = Trainer(
+        cfg=trainer_cfg,
+        train_store=train_store,
+        step_fn=step_fn,
+        scalar_fn=scalar_fn,
+        metric_logger=metric_logger,
+        val_store=val_store,
+        val_fn=val_step,
+        pose_error_fn=pose_fn,
+        checkpoint_manager=ckpt_mgr,
+        callbacks=callbacks,
+    )
+    return BarfExperiment(cfg=cfg, state=state, trainer=trainer, dm=dm, train_store=train_store)

@@ -1,0 +1,185 @@
+"""GARF / GaborF / SARF: calibrated NeRF with learnable-bandwidth activations.
+
+One parameterized entry point replacing the three copy-dirs' mains
+(`garf/main.py:18-192`, `gaborf/main.py`, `sarf/main.py`); select the
+activation family with --activation. Defaults follow `garf/main.py`:
+pose noise 0.15/0.15, camera LR 4e-3 -> 8e-4 over 2 epochs, activation LR
+factor 16, init U(0.5, 2.0), proposal LR 5e-4 -> 5e-5 over 4 epochs
+(weight decay 1e-8), radiance LR 2e-4 -> 2e-5 over 6 epochs (wd 1e-9),
+64 proposal + 192 radiance samples, lindisp stratified sampling, 40 epochs,
+mixed precision (bf16 here), seed 1337 / noise seed 13571113.
+SARF overrides (`sarf/main.py`): activation LR factor 128, near-zero camera
+LR. GaborF (`gaborf/main.py`): init U(0, 2), factor 128, 20 epochs.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_experiments_tpu.data import blender, sampler
+from nerf_experiments_tpu.experiments import common
+from nerf_experiments_tpu.models import garf
+from nerf_experiments_tpu.systems import garf_system
+from nerf_experiments_tpu.training import loggers
+from nerf_experiments_tpu.training.trainer import Trainer, TrainerConfig
+
+ACTIVATION_DEFAULTS = {
+    "gauss": dict(act_lr_factor=16.0, init_min=0.5, init_max=2.0,
+                  camera_lr=(4e-3, 8e-4), max_epochs=40),
+    "gabor": dict(act_lr_factor=128.0, init_min=0.0, init_max=2.0,
+                  camera_lr=(4e-3, 8e-4), max_epochs=20),
+    "sarf": dict(act_lr_factor=128.0, init_min=0.5, init_max=2.0,
+                 camera_lr=(4e-9, 8e-9), max_epochs=40),
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--activation", choices=["gauss", "gabor", "sarf"], default="gauss")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--camera_origin_noise_sigma", type=float, default=0.15)
+    p.add_argument("--camera_rotation_noise_sigma", type=float, default=0.15)
+    p.add_argument("--camera_learning_rate_start", type=float, default=None)
+    p.add_argument("--camera_learning_rate_stop", type=float, default=None)
+    p.add_argument("--camera_learning_rate_decay_end", type=float, default=2.0,
+                   help="in epochs (converted to steps like the reference)")
+    p.add_argument("--activation_learning_rate_factor", type=float, default=None)
+    p.add_argument("--init_min", type=float, default=None)
+    p.add_argument("--init_max", type=float, default=None)
+    p.add_argument("--proposal_learning_rate_start", type=float, default=5e-4)
+    p.add_argument("--proposal_learning_rate_stop", type=float, default=5e-5)
+    p.add_argument("--proposal_learning_rate_decay_end", type=float, default=4.0)
+    p.add_argument("--proposal_weight_decay", type=float, default=1e-8)
+    p.add_argument("--radiance_learning_rate_start", type=float, default=2e-4)
+    p.add_argument("--radiance_learning_rate_stop", type=float, default=2e-5)
+    p.add_argument("--radiance_learning_rate_decay_end", type=float, default=6.0)
+    p.add_argument("--radiance_weight_decay", type=float, default=1e-9)
+    p.add_argument("--proposal_samples_per_ray", type=int, default=64)
+    p.add_argument("--radiance_samples_per_ray", type=int, default=192)
+    p.add_argument("--near", type=float, default=2.0)
+    p.add_argument("--far", type=float, default=7.0)
+    common.add_common_args(p)
+    p.set_defaults(seed=1337, max_epochs=None)
+    return p.parse_args(argv)
+
+
+def build(args):
+    d = ACTIVATION_DEFAULTS[args.activation]
+    act_factor = args.activation_learning_rate_factor or d["act_lr_factor"]
+    init_min = d["init_min"] if args.init_min is None else args.init_min
+    init_max = d["init_max"] if args.init_max is None else args.init_max
+    cam_lr_start = args.camera_learning_rate_start or d["camera_lr"][0]
+    cam_lr_stop = args.camera_learning_rate_stop or d["camera_lr"][1]
+    max_epochs = args.max_epochs or d["max_epochs"]
+
+    scene = common.resolve_scene(args.scene_path, args.image_size)
+    dm = blender.DataModule(
+        scene_path=scene,
+        image_width=args.image_size,
+        image_height=args.image_size,
+        space_transform_scale=1.0,
+        space_transform_translate=None,
+        rotation_noise_sigma=args.camera_rotation_noise_sigma,
+        translation_noise_sigma=args.camera_origin_noise_sigma,
+        camera_noise_seed=13571113,
+        gaussian_blur_sigmas=(0.0,),
+        validation_fraction=0.06,
+        validation_fraction_shuffle=1234,
+    )
+    dm.setup("fit")
+    train_store = sampler.make_ray_store(dm.dataset_train)
+    val_store = sampler.make_ray_store(dm.dataset_val) if dm.dataset_val else None
+    steps_per_epoch = max(1, train_store.n_rays // args.batch_size)
+
+    def epochs_to_steps(e):
+        return int(e * steps_per_epoch)
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    net = garf.GarfConfig(
+        activation=args.activation,
+        init_min=init_min, init_max=init_max,
+        learning_rate_start=args.radiance_learning_rate_start,
+        learning_rate_stop=args.radiance_learning_rate_stop,
+        learning_rate_decay_end=epochs_to_steps(args.radiance_learning_rate_decay_end),
+        activation_learning_rate_factor=act_factor,
+        weight_decay=args.radiance_weight_decay,
+        compute_dtype=compute_dtype,
+    )
+    proposal_net = garf.GarfConfig(
+        activation=args.activation,
+        init_min=init_min, init_max=init_max,
+        learning_rate_start=args.proposal_learning_rate_start,
+        learning_rate_stop=args.proposal_learning_rate_stop,
+        learning_rate_decay_end=epochs_to_steps(args.proposal_learning_rate_decay_end),
+        activation_learning_rate_factor=act_factor,
+        weight_decay=args.proposal_weight_decay,
+        compute_dtype=compute_dtype,
+    )
+    cfg = garf_system.GarfSystemConfig(
+        n_train_images=dm.n_training_images,
+        near=args.near, far=args.far,
+        proposal_samples_per_ray=args.proposal_samples_per_ray,
+        radiance_samples_per_ray=args.radiance_samples_per_ray,
+        net=net, proposal_net=proposal_net,
+        camera_learning_rate_start=cam_lr_start,
+        camera_learning_rate_stop=cam_lr_stop,
+        camera_learning_rate_decay_end=epochs_to_steps(args.camera_learning_rate_decay_end),
+    )
+
+    state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
+    tx = garf_system.make_optimizer(cfg, state.params)
+    step_fn_raw = garf_system.make_train_step(cfg, tx, donate=True)
+    step_fn = lambda state, batch, key: step_fn_raw(state, batch, key)
+
+    raw = train_store.camera_origins_raw
+    noisy = train_store.camera_origins_noisy
+    pose_fn = jax.jit(
+        lambda params: garf_system.pose_error_metric(params, raw, noisy)
+    )
+
+    @jax.jit
+    def val_step(params, batch):
+        from nerf_experiments_tpu.cameras import calibration
+
+        gauge = calibration.post_transform_params(params["camera"], raw, noisy)
+        _, metrics = garf_system.loss_fn(params, cfg, batch, None, train=False,
+                                         val_gauge=gauge)
+        return metrics
+
+    name = args.name or (
+        f"{args.activation}:r{args.camera_rotation_noise_sigma:.2f}"
+        f"+t{args.camera_origin_noise_sigma:.2f}"
+    )
+    metric_logger = loggers.MetricLogger(
+        args.out_dir, use_wandb=args.wandb,
+        wandb_kwargs={"project": "nerf-experiments", "name": name},
+    )
+
+    trainer_cfg = TrainerConfig(
+        max_epochs=max_epochs, max_steps=args.max_steps,
+        batch_size=args.batch_size, seed=args.seed,
+    )
+    trainer = Trainer(
+        cfg=trainer_cfg,
+        train_store=train_store,
+        step_fn=lambda state, batch, key: step_fn(state, batch, key),
+        scalar_fn=lambda step, ef: (),
+        metric_logger=metric_logger,
+        val_store=val_store,
+        val_fn=val_step,
+        pose_error_fn=pose_fn,
+    )
+    return cfg, state, trainer
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg, state, trainer = build(args)
+    return trainer.fit(state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""BARF: joint NeRF + camera-pose self-calibration (flagship entry point).
+
+CLI/semantics parity with `barf/run_barf.py:23-198`: pose noise sigmas,
+blur-sigma ladder, seed, --optimize_camera / --no-optimize_camera; BARF
+positional encodings (10/4 levels, scale 1, identity prepended) annealed
+from alpha 0 between steps 20k and 100k; NerfModel 4x256, 2 segments,
+delayed direction; 128 samples/ray, equidistant sampling with offset -1;
+net LR 5e-4 -> 1e-5 over 200k steps, camera LR 1e-3 -> 1e-5.
+
+    python -m nerf_experiments_tpu.experiments.run_barf \
+        --scene_path /data/lego --image_size 400
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from nerf_experiments_tpu.encodings.fourier import Barf
+from nerf_experiments_tpu.experiments import common
+from nerf_experiments_tpu.data import blender
+from nerf_experiments_tpu.models import nerf_mlp
+from nerf_experiments_tpu.systems import barf as barf_sys
+from nerf_experiments_tpu.training.trainer import TrainerConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--camera_origin_noise_sigma", type=float, default=0.15)
+    p.add_argument("--camera_rotation_noise_sigma", type=float, default=0.15)
+    p.add_argument("--start_blur_sigma", type=float, default=0.0)
+    p.add_argument("--n_blur_sigmas", type=int, default=10)
+    p.add_argument("--optimize_camera", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--samples_per_ray", type=int, default=128)
+    p.add_argument("--samples_per_ray_proposal", type=int, default=0)
+    p.add_argument("--lr_decay_end_step", type=int, default=200_000)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--n_hidden", type=int, default=4)
+    p.add_argument("--checkpoint_every_n_epochs", type=float, default=1.0,
+                   help="0 disables checkpointing")
+    p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
+    p.add_argument("--alpha_decay_end_step", type=int, default=100_000)
+    common.add_common_args(p)
+    return p.parse_args(argv)
+
+
+def build(args) -> common.BarfExperiment:
+    import jax.numpy as jnp
+
+    scene = common.resolve_scene(args.scene_path, args.image_size)
+    sigmas = common.blur_sigmas_from_start(args.start_blur_sigma, args.n_blur_sigmas)
+
+    dm = blender.DataModule(
+        scene_path=scene,
+        image_width=args.image_size,
+        image_height=args.image_size,
+        space_transform_scale=1.0,
+        space_transform_translate=jnp.zeros(3),
+        rotation_noise_sigma=args.camera_rotation_noise_sigma,
+        translation_noise_sigma=args.camera_origin_noise_sigma,
+        camera_noise_seed=args.seed,
+        gaussian_blur_sigmas=sigmas,
+        validation_fraction=0.06,
+        validation_fraction_shuffle=1234,
+    )
+
+    n_rays_per_epoch = None  # filled after setup; alpha uses epoch fraction
+    def iter_to_epoch(it):
+        return it * args.batch_size / (dm.n_training_images * args.image_size**2)
+
+    enc_kwargs = dict(
+        alpha_start=0.0,
+        alpha_increase_start_epoch=iter_to_epoch(args.alpha_decay_start_step),
+        alpha_increase_end_epoch=iter_to_epoch(args.alpha_decay_end_step),
+        include_identity=True,
+        scale=1.0,
+    )
+    position_encoder = Barf(levels=10, **enc_kwargs)
+    direction_encoder = Barf(levels=4, **enc_kwargs)
+
+    radiance = nerf_mlp.NerfMLPConfig(
+        position_encoder=position_encoder,
+        direction_encoder=direction_encoder,
+        n_hidden=args.n_hidden, hidden_dim=args.hidden_dim,
+        delayed_direction=True, delayed_density=False, n_segments=2,
+        learning_rate_start=5e-4, learning_rate_stop=1e-5,
+        learning_rate_decay_end=args.lr_decay_end_step,
+        compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
+    )
+
+    cfg = barf_sys.BarfConfig(
+        radiance=radiance,
+        n_training_images=dm.n_training_images,
+        near=2.0, far=8.0,
+        samples_per_ray_radiance=args.samples_per_ray,
+        samples_per_ray_proposal=args.samples_per_ray_proposal,
+        uniform_sampling_strategy="equidistant",
+        uniform_sampling_offset_size=-1.0,
+        optimize_camera=args.optimize_camera,
+        camera_learning_rate_start=1e-3,
+        camera_learning_rate_stop=1e-5,
+        camera_learning_rate_decay_end=args.lr_decay_end_step,
+        max_gaussian_sigma=args.start_blur_sigma,
+        gaussian_blur_sigmas=sigmas,
+    )
+
+    trainer_cfg = TrainerConfig(
+        max_epochs=args.max_epochs,
+        max_steps=args.max_steps,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        checkpoint_every_n_epochs=args.checkpoint_every_n_epochs or None,
+    )
+    name = (
+        f"BARF translation={args.camera_origin_noise_sigma} "
+        f"rotation={args.camera_rotation_noise_sigma}"
+        + (f" blur={args.start_blur_sigma}" if args.start_blur_sigma > 0.25 else "")
+    )
+    return common.build_barf_experiment(
+        cfg, dm, trainer_cfg, args.out_dir,
+        use_wandb=args.wandb, wandb_name=name,
+        image_log_names=(["r_1"], ["r_2"]),
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    exp = build(args)
+    return exp.fit()
+
+
+if __name__ == "__main__":
+    main()

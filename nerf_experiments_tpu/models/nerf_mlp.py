@@ -123,15 +123,15 @@ def apply(
     encodings); alpha_*: BARF annealing scalars for the two encoders.
     Mirrors `NerfModel.forward:96-141`.
     """
-    enc_kwargs = {}
-    if pixel_width_sigma:
-        enc_kwargs["pixel_width_sigma"] = pixel_width_sigma
     try:
+        # integrated (Mip) encoders take the scheduled extra-blur variance;
+        # pixel_width_sigma may be a traced scalar, so dispatch on signature
+        # (TypeError), never on its value
         pos_enc = cfg.position_encoder(
-            pos, dir, pixel_width, t_start, t_end, alpha=alpha_pos, **enc_kwargs
+            pos, dir, pixel_width, t_start, t_end, alpha=alpha_pos,
+            pixel_width_sigma=pixel_width_sigma,
         )
     except TypeError:
-        # encoders that don't take pixel_width_sigma
         pos_enc = cfg.position_encoder(pos, dir, pixel_width, t_start, t_end, alpha=alpha_pos)
     dir_enc = cfg.direction_encoder(dir, alpha=alpha_dir)
 

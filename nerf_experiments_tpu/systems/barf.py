@@ -244,9 +244,13 @@ def train_step(
 
 
 def make_train_step(cfg: BarfConfig, tx: optax.GradientTransformation, donate: bool = True):
-    """jit-compiled train step closure over static config."""
-    fn = lambda state, batch, key, a_pos, a_dir, sigma: train_step(
-        state, cfg, tx, batch, key, a_pos, a_dir, sigma
+    """jit-compiled train step closure over static config.
+
+    Accepts 3 or 4 trailing scalars: (alpha_pos, alpha_dir, blur_sigma
+    [, pixel_width_sigma]) — the 4th drives the Mip-BARF IPE extra-blur
+    schedule (`barf/model_mip.py:252`)."""
+    fn = lambda state, batch, key, a_pos, a_dir, sigma, pw_sigma=0.0: train_step(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma, pw_sigma
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 

@@ -1,0 +1,81 @@
+"""Smoke tests for the experiment entry points (tiny shapes, few steps)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_experiments_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene_exp")
+    synthetic.generate_dataset(str(d), n_train=4, n_val=2, n_test=2,
+                               image_size=24, n_samples=32)
+    return str(d)
+
+
+def _metrics(out_dir):
+    return [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+
+
+class TestGarfMain:
+    @pytest.mark.parametrize("activation", ["gauss", "gabor", "sarf"])
+    def test_runs_and_loss_finite(self, scene_dir, tmp_path, activation):
+        from nerf_experiments_tpu.experiments import garf_main
+
+        args = garf_main.parse_args([
+            "--activation", activation,
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "60",
+            "--proposal_samples_per_ray", "8", "--radiance_samples_per_ray", "16",
+            "--out_dir", str(tmp_path / activation),
+        ])
+        cfg, state, trainer = garf_main.build(args)
+        state = trainer.fit(state)
+        assert int(state.step) == 60
+        rows = _metrics(str(tmp_path / activation))
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+        assert any("pose_error" in r for r in rows)
+
+
+class TestBipBarf:
+    def test_runs_with_sigma_schedule(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_bip_barf
+
+        args = run_bip_barf.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "60",
+            "--samples_per_ray", "16",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--start_blur_sigma", "4.0", "--start_pixel_width_sigma", "4.0",
+            "--max_blur_sigma", "4.0", "--n_blur_sigmas", "3",
+            "--sigma_decay_start_step", "10", "--sigma_decay_end_step", "40",
+            "--checkpoint_every_n_epochs", "0",
+            "--out_dir", str(tmp_path / "bip"),
+        ])
+        exp = run_bip_barf.build(args)
+        state = exp.fit()
+        assert int(state.step) == 60
+        rows = _metrics(str(tmp_path / "bip"))
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+
+    def test_mip_proposal_shared_net(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_bip_barf
+
+        args = run_bip_barf.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "30",
+            "--samples_per_ray", "16", "--samples_per_ray_proposal", "8",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--checkpoint_every_n_epochs", "0",
+            "--out_dir", str(tmp_path / "mip"),
+        ])
+        exp = run_bip_barf.build(args)
+        assert exp.cfg.share_proposal_net and exp.cfg.coarse_loss_weight == 0.1
+        state = exp.fit()
+        rows = _metrics(str(tmp_path / "mip"))
+        assert any("loss_coarse" in r for r in rows)
