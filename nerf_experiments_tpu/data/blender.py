@@ -200,17 +200,26 @@ def load(
     camera_origins = c2w[:, :3, 3].astype(np.float32)
     camera_directions = (c2w[:, :3, :3] @ np.array([0.0, 0.0, -1.0])).astype(np.float32)
 
-    # meshgrid directions, row-major pixel order (`_get_directions_meshgrid`)
-    ys = -(np.arange(image_height) - (image_height - 1) / 2) / focal
-    xs = (np.arange(image_width) - (image_width - 1) / 2) / focal
-    yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    mesh = np.stack([xx, yy, -np.ones_like(xx)], axis=-1).reshape(-1, 3)
-    mesh /= np.linalg.norm(mesh, axis=-1, keepdims=True)
+    # ray precomputation: native C++ kernel when available (identical math,
+    # OpenMP across images), numpy otherwise
+    from nerf_experiments_tpu.data import native as native_lib
 
-    ray_dirs = np.einsum("nij,pj->npi", c2w[:, :3, :3], mesh).astype(np.float32)
-    ray_origs = np.broadcast_to(
-        camera_origins[:, None, :], ray_dirs.shape
-    ).astype(np.float32).copy()
+    if native_lib.available():
+        ray_origs, ray_dirs = native_lib.compute_rays(
+            c2w.astype(np.float32), image_height, image_width, focal
+        )
+    else:
+        # meshgrid directions, row-major pixel order (`_get_directions_meshgrid`)
+        ys = -(np.arange(image_height) - (image_height - 1) / 2) / focal
+        xs = (np.arange(image_width) - (image_width - 1) / 2) / focal
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        mesh = np.stack([xx, yy, -np.ones_like(xx)], axis=-1).reshape(-1, 3)
+        mesh /= np.linalg.norm(mesh, axis=-1, keepdims=True)
+
+        ray_dirs = np.einsum("nij,pj->npi", c2w[:, :3, :3], mesh).astype(np.float32)
+        ray_origs = np.broadcast_to(
+            camera_origins[:, None, :], ray_dirs.shape
+        ).astype(np.float32).copy()
 
     # seeded pose noise (`_apply_noise:513-561`)
     rng = np.random.default_rng(

@@ -43,6 +43,17 @@ class RayStore:
     def n_rays(self) -> int:
         return self.origins_raw.shape[0]
 
+    def arrays(self) -> dict:
+        """The device arrays as a pytree (for passing into jitted steps)."""
+        return {
+            "origins_raw": self.origins_raw,
+            "origins_noisy": self.origins_noisy,
+            "dirs_raw": self.dirs_raw,
+            "dirs_noisy": self.dirs_noisy,
+            "colors": self.colors,
+            "img_idx": self.img_idx,
+        }
+
 
 def make_ray_store(data: ImagePoseData, device=None) -> RayStore:
     n, h, w = data.n_images, data.image_height, data.image_width
@@ -76,15 +87,22 @@ def sample_batch(store: RayStore, key: jax.Array, batch_size: int):
 
 
 def gather_batch(store: RayStore, idx: jnp.ndarray):
+    return gather_batch_arrays(store.arrays(), store.pixel_width, idx)
+
+
+def gather_batch_arrays(arrays: dict, pixel_width: float, idx: jnp.ndarray):
+    """Batch gather from the flat ray arrays — jit this together with the
+    train step (one fused device program per step; anything eager costs a
+    device-tunnel roundtrip per op)."""
     b = idx.shape[0]
     return {
-        "origs_raw": store.origins_raw[idx],
-        "origs_noisy": store.origins_noisy[idx],
-        "dirs_raw": store.dirs_raw[idx],
-        "dirs_noisy": store.dirs_noisy[idx],
-        "colors": store.colors[idx],
-        "img_idx": store.img_idx[idx],
-        "pixel_width": jnp.full((b, 1), store.pixel_width),
+        "origs_raw": arrays["origins_raw"][idx],
+        "origs_noisy": arrays["origins_noisy"][idx],
+        "dirs_raw": arrays["dirs_raw"][idx],
+        "dirs_noisy": arrays["dirs_noisy"][idx],
+        "colors": arrays["colors"][idx],
+        "img_idx": arrays["img_idx"][idx],
+        "pixel_width": jnp.full((b, 1), pixel_width),
     }
 
 

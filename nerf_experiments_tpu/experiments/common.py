@@ -89,8 +89,9 @@ def build_barf_experiment(
     tx = barf_sys.make_optimizer(cfg, state.params)
     step_fn = barf_sys.make_train_step(cfg, tx, donate=True)
 
-    pos_enc = cfg.radiance.position_encoder
-    dir_enc = cfg.radiance.direction_encoder
+    # NerfMLPConfig has encoders; generic ModelDefs (hash grids, SIREN) don't
+    pos_enc = getattr(cfg.radiance, "position_encoder", None)
+    dir_enc = getattr(cfg.radiance, "direction_encoder", None)
 
     def scalar_fn(step: int, epoch_frac: float):
         if alpha_schedules is not None:

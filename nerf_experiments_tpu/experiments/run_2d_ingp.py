@@ -1,41 +1,41 @@
-"""2-D image reconstruction: Fourier-feature MLP fits one image.
+"""2-D multiresolution hash-grid image fitting ("Gigapixel").
 
-Parity with `2d-reconstruction/main.py` + `model.py`: Nerf2d (tanh MLP over
-2-D Fourier features, sigmoid rgb), Adam + ReduceLROnPlateau(factor 0.5,
-patience 20), seeded pixel shuffle with (0.9, 0.05, 0.05) split. The minimal
-end-to-end slice of the framework (SURVEY.md §7.2 step 4).
+Parity with `2d-ingp/main.py` + `2d-ingp/model.py`: INGPEncoding (16 levels,
+2 features, 2^16 tables, geometric resolutions) + small ReLU MLP + sigmoid,
+Adam 1e-3 + ReduceLROnPlateau(0.5, patience 5), single-image pixel dataset.
 """
 from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from nerf_experiments_tpu.data import single_image
-from nerf_experiments_tpu.models import nerf2d
+from nerf_experiments_tpu.models import ingp
+from nerf_experiments_tpu.ops import hashgrid
 from nerf_experiments_tpu.ops.metrics import psnr
 from nerf_experiments_tpu.training.loggers import MetricLogger
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--image_path", type=str, default=None,
-                   help="image to fit; default = procedural test image")
-    p.add_argument("--image_size", type=int, default=64)
-    p.add_argument("--fourier_levels", type=int, default=10)
-    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--image_path", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--n_levels", type=int, default=16)
+    p.add_argument("--n_features", type=int, default=2)
+    p.add_argument("--table_size", type=int, default=2**16)
+    p.add_argument("--resolution_min", type=int, default=16)
+    p.add_argument("--resolution_max", type=int, default=2048)
+    p.add_argument("--n_hidden", type=int, default=2)
+    p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-3)
-    p.add_argument("--lr_decay", type=float, default=0.5)
-    p.add_argument("--lr_decay_patience", type=int, default=20)
-    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--batch_size", type=int, default=8192)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--out_dir", type=str, default="runs/2d")
+    p.add_argument("--out_dir", type=str, default="runs/2d_ingp")
     return p.parse_args(argv)
 
 
@@ -46,21 +46,21 @@ def train(args):
         img = single_image.procedural_test_image(args.image_size, args.seed)
         data = single_image.load(img, pixel_shuffle_seed=args.seed)
 
-    cfg = nerf2d.Nerf2dConfig(
-        fourier_levels=args.fourier_levels,
-        hidden_dim=args.hidden_dim,
-        learning_rate=args.learning_rate,
+    grid = hashgrid.HashGridConfig(
+        dim=2,
+        resolution_min=args.resolution_min,
+        resolution_max=args.resolution_max,
+        table_size=args.table_size,
+        n_features=args.n_features,
+        n_levels=args.n_levels,
     )
-    params = nerf2d.init(jax.random.PRNGKey(args.seed), cfg)
+    cfg = ingp.GigapixelConfig(grid=grid, n_hidden=args.n_hidden, hidden_dim=args.hidden_dim)
+    params = ingp.gigapixel_init(jax.random.PRNGKey(args.seed), cfg)
+    # Instant-NGP-style Adam: betas (0.9, 0.99), eps 1e-15 (`3d-ingp/model.py:503-510`)
     tx = optax.chain(
-        optax.adam(args.learning_rate),
-        # plateau checks once per ~epoch of steps (accumulation), matching
-        # the reference's per-epoch ReduceLROnPlateau — NOT per batch, which
-        # collapses the LR within a few hundred steps
-        optax.contrib.reduce_on_plateau(
-            factor=args.lr_decay, patience=args.lr_decay_patience,
-            accumulation_size=100,
-        ),
+        optax.adam(args.learning_rate, b1=0.9, b2=0.99, eps=1e-15),
+        # plateau per ~epoch (accumulated), not per batch — see run_2d_reconstruction
+        optax.contrib.reduce_on_plateau(factor=0.5, patience=5, accumulation_size=100),
     )
     opt_state = tx.init(params)
 
@@ -72,10 +72,9 @@ def train(args):
     @jax.jit
     def step(params, opt_state, key):
         idx = jax.random.randint(key, (args.batch_size,), 0, coords.shape[0])
-        x, y = coords[idx], colors[idx]
 
         def loss_fn(p):
-            return jnp.mean((nerf2d.apply(p, cfg, x) - y) ** 2)
+            return jnp.mean((ingp.gigapixel_apply(p, cfg, coords[idx]) - colors[idx]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = tx.update(grads, opt_state, params, value=loss)
@@ -83,7 +82,7 @@ def train(args):
 
     @jax.jit
     def val_loss(params):
-        return jnp.mean((nerf2d.apply(params, cfg, val_coords) - val_colors) ** 2)
+        return jnp.mean((ingp.gigapixel_apply(params, cfg, val_coords) - val_colors) ** 2)
 
     logger = MetricLogger(args.out_dir)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -102,8 +101,7 @@ def train(args):
 
 
 def main(argv=None):
-    args = parse_args(argv)
-    return train(args)
+    return train(parse_args(argv))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--lr_decay_end_step", type=int, default=200_000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--n_hidden", type=int, default=4)
+    p.add_argument("--n_segments", type=int, default=2)
+    p.add_argument("--delayed_direction", action="store_true", default=True)
+    p.add_argument("--no-delayed_direction", dest="delayed_direction", action="store_false")
+    p.add_argument("--delayed_density", action="store_true", default=False)
+    p.add_argument("--fourier_levels_pos", type=int, default=10)
+    p.add_argument("--fourier_levels_dir", type=int, default=4)
     p.add_argument("--checkpoint_every_n_epochs", type=float, default=1.0,
                    help="0 disables checkpointing")
     p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
@@ -75,14 +81,15 @@ def build(args) -> common.BarfExperiment:
         include_identity=True,
         scale=1.0,
     )
-    position_encoder = Barf(levels=10, **enc_kwargs)
-    direction_encoder = Barf(levels=4, **enc_kwargs)
+    position_encoder = Barf(levels=args.fourier_levels_pos, **enc_kwargs)
+    direction_encoder = Barf(levels=args.fourier_levels_dir, **enc_kwargs)
 
     radiance = nerf_mlp.NerfMLPConfig(
         position_encoder=position_encoder,
         direction_encoder=direction_encoder,
         n_hidden=args.n_hidden, hidden_dim=args.hidden_dim,
-        delayed_direction=True, delayed_density=False, n_segments=2,
+        delayed_direction=args.delayed_direction,
+        delayed_density=args.delayed_density, n_segments=args.n_segments,
         learning_rate_start=5e-4, learning_rate_stop=1e-5,
         learning_rate_decay_end=args.lr_decay_end_step,
         compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,

@@ -43,7 +43,13 @@ def linear_init(key: jax.Array, in_features: int, out_features: int, dtype=jnp.f
 
 def linear_apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """x @ W + b; optionally casts inputs/weights to a compute dtype (bf16)
-    while accumulating in fp32 (preferred_element_type) for MXU throughput."""
+    while accumulating in fp32 (preferred_element_type) for MXU throughput.
+
+    With a compute dtype set, the OUTPUT is also stored in that dtype: the
+    hot path is HBM-bandwidth-bound on activations, so halving their width
+    matters more than the last bits of an already-fp32-accumulated matmul.
+    Heads that need fp32 (density/rgb) cast back after the final layer.
+    """
     w, b = params["w"], params["b"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -51,7 +57,8 @@ def linear_apply(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     y = jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return y + b
+    y = y + b
+    return y.astype(compute_dtype) if compute_dtype is not None else y
 
 
 def softplus8(x: jnp.ndarray) -> jnp.ndarray:

@@ -135,10 +135,15 @@ def radiance_apply(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(rgb, density) — argument/return order matches RadianceNetwork.forward."""
     z1 = _apply_stack(cfg, params["density1"], pos)
-    z2 = _apply_stack(cfg, params["density2"], jnp.concatenate([z1, pos], axis=-1))
-    density = softplus8(z2[:, 128] - 1.0)
-    color_in = jnp.concatenate([z1[:, :128] + z2[:, :128], dir], axis=-1)
-    rgb = jax.nn.sigmoid(_apply_stack(cfg, params["color"], color_in))
+    z2 = _apply_stack(cfg, params["density2"],
+                      jnp.concatenate([z1, pos.astype(z1.dtype)], axis=-1))
+    density = softplus8(z2[:, 128].astype(jnp.float32) - 1.0)
+    color_in = jnp.concatenate(
+        [z1[:, :128] + z2[:, :128], dir.astype(z1.dtype)], axis=-1
+    )
+    rgb = jax.nn.sigmoid(
+        _apply_stack(cfg, params["color"], color_in).astype(jnp.float32)
+    )
     return rgb, density
 
 
@@ -150,7 +155,7 @@ def proposal_init(key: jax.Array, cfg: GarfConfig) -> Dict:
 def proposal_apply(params: Dict, cfg: GarfConfig, pos: jnp.ndarray) -> jnp.ndarray:
     """Density-only network; softplus(threshold=8) output, squeezed to (B,)."""
     out = _apply_stack(cfg, params["net"], pos)
-    return softplus8(out[..., 0])
+    return softplus8(out[..., 0].astype(jnp.float32))
 
 
 def param_labels(params: Dict, linear_label: str, act_label: str) -> Dict:

@@ -154,6 +154,7 @@ def apply(
     final_output = linear_apply(params["color"][1], h, cfg.compute_dtype)
 
     density_raw = final_output[:, -1] if cfg.delayed_density else z[:, -1]
-    density = softplus8(density_raw)
-    rgb = jax.nn.sigmoid(final_output[:, :3])
+    # heads back to fp32: compositing + MSE loss stay full precision
+    density = softplus8(density_raw.astype(jnp.float32))
+    rgb = jax.nn.sigmoid(final_output[:, :3].astype(jnp.float32))
     return density, rgb

@@ -28,7 +28,10 @@ class SirenConfig:
 
 def _sine_layer_init(key, in_features, out_features, scale, first_layer):
     """SIREN init (`linear_sine.py:31-40`): first layer U(-1,1)/in, else
-    U(-1,1)·sqrt(6/in)/ω (per-input-feature ω)."""
+    U(-1,1)·sqrt(6/in)/ω (per-input-feature ω). The ω scale vector is NOT a
+    parameter — it is a static buffer derived from the config (storing it in
+    the pytree would both double-donate shared buffers and let the optimizer
+    "train" a constant)."""
     kw, kb = jax.random.split(key)
     w = jax.random.uniform(kw, (in_features, out_features), minval=-1.0, maxval=1.0)
     if first_layer:
@@ -37,11 +40,23 @@ def _sine_layer_init(key, in_features, out_features, scale, first_layer):
         w = w * (jnp.sqrt(6.0 / in_features) / scale)[:, None]
     bound = 1.0 / jnp.sqrt(in_features)
     b = jax.random.uniform(kb, (out_features,), minval=-bound, maxval=bound)
-    return {"w": w, "b": b, "scale": scale}
+    return {"w": w, "b": b}
 
 
-def _sine_apply(layer, x, compute_dtype):
-    return jnp.sin(linear_apply({"w": layer["w"], "b": layer["b"]}, x * layer["scale"], compute_dtype))
+def _sine_apply(layer, scale, x, compute_dtype):
+    return jnp.sin(linear_apply(layer, x * scale, compute_dtype))
+
+
+def _scales(cfg: "SirenConfig"):
+    """Per-layer static ω vectors (`nerf-siren/nerf_model.py:14-53`)."""
+    s = cfg.input_scale
+    ones_h = jnp.ones(HIDDEN)
+    skip = jnp.concatenate([ones_h, jnp.ones(3) * s])
+    return {
+        "density1": [jnp.ones(3) * s, ones_h, ones_h, ones_h],
+        "density2": [skip, ones_h, ones_h],
+        "color_sine": skip,
+    }
 
 
 def init(key: jax.Array, cfg: SirenConfig) -> Dict:
@@ -71,19 +86,21 @@ def apply(
     params: Dict, cfg: SirenConfig, pos: jnp.ndarray, dir: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(density, rgb) — matches `nerf_model.py:58-74`."""
+    scales = _scales(cfg)
     z = pos
-    for layer in params["density1"]:
-        z = _sine_apply(layer, z, cfg.compute_dtype)
-    z = jnp.concatenate([z, pos], axis=-1)
-    for layer in params["density2"]:
-        z = _sine_apply(layer, z, cfg.compute_dtype)
+    for layer, sc in zip(params["density1"], scales["density1"]):
+        z = _sine_apply(layer, sc, z, cfg.compute_dtype)
+    z = jnp.concatenate([z, pos.astype(z.dtype)], axis=-1)
+    for layer, sc in zip(params["density2"], scales["density2"]):
+        z = _sine_apply(layer, sc, z, cfg.compute_dtype)
     z = linear_apply(params["density2_out"], z, cfg.compute_dtype)
 
-    density = softplus8(z[:, HIDDEN + 3] - 1.0)
+    density = softplus8(z[:, HIDDEN + 3].astype(jnp.float32) - 1.0)
     rgb_latent = z[:, :HIDDEN]
     rgb_base = z[:, HIDDEN : HIDDEN + 3]
-    h = _sine_apply(params["color_sine"], jnp.concatenate([rgb_latent, dir], axis=-1),
+    h = _sine_apply(params["color_sine"], scales["color_sine"],
+                    jnp.concatenate([rgb_latent, dir.astype(z.dtype)], axis=-1),
                     cfg.compute_dtype)
     rgb_res = linear_apply(params["color_out"], h, cfg.compute_dtype)
-    rgb = jax.nn.sigmoid(rgb_base + rgb_res)
+    rgb = jax.nn.sigmoid((rgb_base + rgb_res).astype(jnp.float32))
     return density, rgb

@@ -98,7 +98,11 @@ def _encode_level(
     corners = (x_floor[:, None, :].astype(jnp.int32) + offsets[None, :, :])  # (B, 2^d, d)
 
     idx = _level_indices(corners, resolution, cfg)  # (B, 2^d)
-    features = table[idx]  # gather -> (B, 2^d, F)
+    # gather with FLATTENED indices: multi-dim index gathers trip a ~400s
+    # pathological compile in libtpu's AOT pipeline; 1-D gathers compile in
+    # ~1s and lower to the same vectorized dynamic-gather
+    n_corners = idx.shape[1]
+    features = table[idx.reshape(-1)].reshape(-1, n_corners, cfg.n_features)
 
     x_diff = jnp.abs(x_scaled[:, None, :] - corners.astype(x.dtype))
     weights = jnp.prod(1.0 - x_diff, axis=-1)  # (B, 2^d)

@@ -130,19 +130,32 @@ def _outer_measure(
 
     edges_q (N, Q+1), edges_ref (N, R+1), w_ref (N, R) -> (N, Q).
     """
+    from nerf_experiments_tpu.ops.sampling import take_along_last
+
     cw = jnp.concatenate(
         [jnp.zeros_like(w_ref[:, :1]), jnp.cumsum(w_ref, axis=-1)], axis=-1
     )  # (N, R+1)
 
-    def per_ray(eq, er, c):
-        # mass of ref intervals fully inside (-inf, x]: use cumweight at the
-        # last ref edge <= x for the lower bound, and at the first ref edge
-        # >= x for the upper bound (captures partial overlaps on both sides).
-        lo_idx = jnp.clip(jnp.searchsorted(er, eq[:-1], side="left") - 1, 0, c.shape[0] - 1)
-        hi_idx = jnp.clip(jnp.searchsorted(er, eq[1:], side="right"), 0, c.shape[0] - 1)
-        return c[hi_idx] - c[lo_idx]
-
-    return jax.vmap(per_ray)(edges_q, edges_ref, cw)
+    # mass of ref intervals fully inside (-inf, x]: cumweight at the last ref
+    # edge <= x for the lower bound, first ref edge >= x for the upper bound
+    # (captures partial overlaps on both sides). Row-wise searchsorted via
+    # vmap; gathers flattened (see take_along_last) for sane compile times.
+    lo_idx = jnp.clip(
+        jax.vmap(lambda er, eq: jnp.searchsorted(er, eq, side="left"))(
+            edges_ref, edges_q[:, :-1]
+        )
+        - 1,
+        0,
+        cw.shape[1] - 1,
+    )
+    hi_idx = jnp.clip(
+        jax.vmap(lambda er, eq: jnp.searchsorted(er, eq, side="right"))(
+            edges_ref, edges_q[:, 1:]
+        ),
+        0,
+        cw.shape[1] - 1,
+    )
+    return take_along_last(cw, hi_idx) - take_along_last(cw, lo_idx)
 
 
 def compute_loss(

@@ -55,6 +55,36 @@ def render_rays(
     return rgb, weights
 
 
+def use_pallas_renderer() -> bool:
+    """Fused Pallas kernel on TPU; pure-JAX fallback elsewhere (and under the
+    NETPU_NO_PALLAS=1 escape hatch)."""
+    import os
+
+    if os.environ.get("NETPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def render_rays_auto(densities, colors, dists, density_scale: float = DENSITY_SCALE):
+    if use_pallas_renderer():
+        from nerf_experiments_tpu.ops.render_pallas import render_rays_pallas
+
+        return render_rays_pallas(densities, colors, dists, density_scale)
+    return render_rays(densities, colors, dists, density_scale)
+
+
+def render_full_auto(densities, colors, t_start, t_end,
+                     density_scale: float = DENSITY_SCALE):
+    if use_pallas_renderer():
+        from nerf_experiments_tpu.ops.render_pallas import render_full_pallas
+
+        return render_full_pallas(densities, colors, t_start, t_end, density_scale)
+    return render_full(densities, colors, t_start, t_end, density_scale)
+
+
 def render_full(
     densities: jnp.ndarray,
     colors: jnp.ndarray,

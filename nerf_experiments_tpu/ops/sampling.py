@@ -26,6 +26,18 @@ import jax
 import jax.numpy as jnp
 
 
+def take_along_last(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(a, idx, axis=-1) via a FLATTENED 1-D gather.
+
+    jnp.take_along_axis's multi-dim gather trips a ~300s pathological compile
+    in this libtpu AOT pipeline; the flattened equivalent compiles in ~1s
+    and lowers to the same vectorized gather. a (N, W), idx (N, S) -> (N, S).
+    """
+    n, w = a.shape
+    flat_idx = (idx + jnp.arange(n)[:, None] * w).reshape(-1)
+    return a.reshape(-1)[flat_idx].reshape(idx.shape)
+
+
 def intervals_from_t(t: jnp.ndarray, far: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """t (N, S) sorted -> (t_start, t_end) with t_end[-1] = far."""
     t_start = t
@@ -112,10 +124,10 @@ def sample_pdf(
         0,
         n_bins - 1,
     )
-    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
-    e_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
-    e_hi = jnp.take_along_axis(t_edges, idx + 1, axis=-1)
+    cdf_lo = take_along_last(cdf, idx)
+    cdf_hi = take_along_last(cdf, idx + 1)
+    e_lo = take_along_last(t_edges, idx)
+    e_hi = take_along_last(t_edges, idx + 1)
 
     denom = jnp.where(cdf_hi - cdf_lo < eps, 1.0, cdf_hi - cdf_lo)
     frac = (u - cdf_lo) / denom

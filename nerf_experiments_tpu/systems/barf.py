@@ -39,14 +39,45 @@ from nerf_experiments_tpu.training.schedules import barf_sigma_alpha
 
 
 @dataclasses.dataclass(frozen=True)
+class NerfMLPDef:
+    """Default model plug: the segmented NerfModel MLP."""
+
+    cfg: nerf_mlp.NerfMLPConfig
+
+    def init(self, key):
+        return nerf_mlp.init(key, self.cfg)
+
+    def apply(self, params, pos, dir, pixel_width, t_start, t_end,
+              alpha_pos, alpha_dir, pixel_width_sigma=0.0):
+        return nerf_mlp.apply(
+            params, self.cfg, pos, dir, pixel_width=pixel_width,
+            t_start=t_start, t_end=t_end, alpha_pos=alpha_pos,
+            alpha_dir=alpha_dir, pixel_width_sigma=pixel_width_sigma,
+        )
+
+    @property
+    def param_group(self) -> ParamGroup:
+        return self.cfg.param_group
+
+
+def _model_def(model):
+    """Accept either a NerfMLPConfig (wrapped) or any ModelDef-like object
+    exposing init/apply/param_group — this is how SIREN / hash-grid / fused-
+    Pallas radiance fields plug into the same renderer + calibration stack."""
+    if isinstance(model, nerf_mlp.NerfMLPConfig):
+        return NerfMLPDef(model)
+    return model
+
+
+@dataclasses.dataclass(frozen=True)
 class BarfConfig:
-    radiance: nerf_mlp.NerfMLPConfig
+    radiance: Any  # NerfMLPConfig or ModelDef (see _model_def)
     n_training_images: int
     near: float = 2.0
     far: float = 8.0
     samples_per_ray_radiance: int = 128
     samples_per_ray_proposal: int = 0  # 0 => no hierarchical sampling
-    proposal: Optional[nerf_mlp.NerfMLPConfig] = None  # None => share radiance
+    proposal: Optional[Any] = None  # None => same architecture as radiance
     share_proposal_net: bool = False  # MipNeRF style (model_mip.py:36)
     uniform_sampling_strategy: str = "stratified_uniform"
     uniform_sampling_offset_size: float = 0.0
@@ -60,6 +91,11 @@ class BarfConfig:
 
     max_gaussian_sigma: float = 0.0
     gaussian_blur_sigmas: Tuple[float, ...] = (0.0, 0.0)
+
+    # Adam knobs: reference default eps=1e-5 (`model_interpolation.py:556`);
+    # the INGP variants use betas (0.9, 0.99), eps 1e-15 (`3d-ingp/model.py:503-510`)
+    adam_eps: float = 1e-5
+    adam_b2: float = 0.999
 
     @property
     def use_proposal(self) -> bool:
@@ -83,35 +119,42 @@ class TrainState:
 
 def init(key: jax.Array, cfg: BarfConfig) -> TrainState:
     k_rad, k_prop = jax.random.split(key)
-    params: Dict = {"radiance": nerf_mlp.init(k_rad, cfg.radiance)}
+    params: Dict = {"radiance": _model_def(cfg.radiance).init(k_rad)}
     if cfg.use_proposal and not cfg.share_proposal_net:
-        prop_cfg = cfg.proposal if cfg.proposal is not None else cfg.radiance
-        params["proposal"] = nerf_mlp.init(k_prop, prop_cfg)
+        prop = cfg.proposal if cfg.proposal is not None else cfg.radiance
+        params["proposal"] = _model_def(prop).init(k_prop)
     params["camera"] = extrinsics.init(cfg.n_training_images)
     tx = make_optimizer(cfg, params)
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
 
 
 def make_optimizer(cfg: BarfConfig, params: Dict) -> optax.GradientTransformation:
-    groups = {"radiance": cfg.radiance.param_group, "camera": cfg.camera_group}
+    groups = {
+        "radiance": _model_def(cfg.radiance).param_group,
+        "camera": cfg.camera_group,
+    }
     labels = {
         "radiance": optim.constant_labels(params["radiance"], "radiance"),
         "camera": optim.constant_labels(params["camera"], "camera"),
     }
     if "proposal" in params:
-        prop_cfg = cfg.proposal if cfg.proposal is not None else cfg.radiance
-        groups["proposal"] = prop_cfg.param_group
+        prop = cfg.proposal if cfg.proposal is not None else cfg.radiance
+        groups["proposal"] = _model_def(prop).param_group
         labels["proposal"] = optim.constant_labels(params["proposal"], "proposal")
     if not cfg.optimize_camera:
         groups["camera"] = ParamGroup(0.0, 0.0, 0)
-    return optim.multi_group_adam(groups, labels)
+    return optim.multi_group_adam(groups, labels, eps=cfg.adam_eps, adam_b2=cfg.adam_b2)
 
 
-def _eval_model(cfg_mlp, params, origs, dirs, t_start, t_end, pixel_width,
+def _eval_model(model_def, params, origs, dirs, t_start, t_end, pixel_width,
                 alpha_pos, alpha_dir, integration_strategy, pixel_width_sigma=0.0):
     """Positions from t bins -> flattened MLP eval -> (density, rgb) grouped.
 
     Mirrors `_compute_positions:288-312` + `_compute_color:356-414`.
+
+    (Measured: jax.checkpoint/remat on the MLP eval is a 20% REGRESSION here
+    — with bf16 activation storage the bwd reads are cheaper than the fwd
+    recompute — so no remat. Revisit only if activations outgrow HBM.)
     """
     n_rays, n_samples = t_start.shape
     t_q = sampling.t_query(t_start, t_end, integration_strategy)
@@ -119,13 +162,12 @@ def _eval_model(cfg_mlp, params, origs, dirs, t_start, t_end, pixel_width,
     dirs_rep = jnp.broadcast_to(dirs[:, None, :], pos.shape)
 
     flat = lambda x, d: x.reshape(n_rays * n_samples, d)
-    density, rgb = nerf_mlp.apply(
-        params, cfg_mlp,
+    density, rgb = model_def.apply(
+        params,
         flat(pos, 3), flat(dirs_rep, 3),
-        pixel_width=jnp.broadcast_to(pixel_width, (n_rays, n_samples)).reshape(-1, 1),
-        t_start=flat(t_start[..., None], 1), t_end=flat(t_end[..., None], 1),
-        alpha_pos=alpha_pos, alpha_dir=alpha_dir,
-        pixel_width_sigma=pixel_width_sigma,
+        jnp.broadcast_to(pixel_width, (n_rays, n_samples)).reshape(-1, 1),
+        flat(t_start[..., None], 1), flat(t_end[..., None], 1),
+        alpha_pos, alpha_dir, pixel_width_sigma,
     )
     return density.reshape(n_rays, n_samples), rgb.reshape(n_rays, n_samples, 3)
 
@@ -154,14 +196,14 @@ def forward(
             k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far, strategy, offset
         )
         prop_params = params.get("proposal", params["radiance"])
-        prop_cfg = (cfg.proposal if cfg.proposal is not None else cfg.radiance)
+        prop_model = _model_def(cfg.proposal if cfg.proposal is not None else cfg.radiance)
         if cfg.share_proposal_net:
-            prop_params, prop_cfg = params["radiance"], cfg.radiance
+            prop_params, prop_model = params["radiance"], _model_def(cfg.radiance)
         dens_c, rgb_c_samples = _eval_model(
-            prop_cfg, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
+            prop_model, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
             pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
         )
-        rgb_coarse, weights = render.render_rays(dens_c, rgb_c_samples, tc_end - tc_start)
+        rgb_coarse, weights = render.render_rays_auto(dens_c, rgb_c_samples, tc_end - tc_start)
         tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
@@ -175,10 +217,11 @@ def forward(
         rgb_coarse = None
 
     dens_f, rgb_f_samples = _eval_model(
-        cfg.radiance, params["radiance"], ray_origs, ray_dirs, tf_start, tf_end,
+        _model_def(cfg.radiance), params["radiance"], ray_origs, ray_dirs,
+        tf_start, tf_end,
         pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
     )
-    rgb_fine, _ = render.render_rays(dens_f, rgb_f_samples, tf_end - tf_start)
+    rgb_fine, _ = render.render_rays_auto(dens_f, rgb_f_samples, tf_end - tf_start)
     return rgb_fine, rgb_coarse
 
 

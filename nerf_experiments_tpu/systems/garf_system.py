@@ -136,7 +136,7 @@ def forward(
     rgb_s = rgb_s.reshape(t_starts.shape + (3,))
     density_s = density_s.reshape(t_starts.shape)
 
-    rgb, opacity, depth, extras = render.render_full(density_s, rgb_s, t_starts, t_ends)
+    rgb, opacity, depth, extras = render.render_full_auto(density_s, rgb_s, t_starts, t_ends)
     extras["proposal_aux"] = aux
     return rgb, opacity, depth, extras
 

@@ -67,6 +67,22 @@ class Trainer:
         self.callbacks = callbacks or []
         self.steps_per_epoch = max(1, train_store.n_rays // cfg.batch_size)
 
+        # ONE fused device program per step: index sampling + batch gather +
+        # the system's train step, jitted together (each eager op would cost
+        # a device-tunnel roundtrip, and eager gathers have been observed to
+        # hit TPU backend errors under this tunnel)
+        n_rays = train_store.n_rays
+        pixel_width = train_store.pixel_width
+        batch_size = cfg.batch_size
+
+        def fused(state, arrays, key, *scalars):
+            k_batch, k_step = jax.random.split(key)
+            idx = jax.random.randint(k_batch, (batch_size,), 0, n_rays)
+            batch = sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+            return self.step_fn(state, batch, k_step, *scalars)
+
+        self._fused_step = jax.jit(fused, donate_argnums=(0,))
+
     def epoch_fraction(self, step: int) -> float:
         return step / self.steps_per_epoch
 
@@ -83,13 +99,13 @@ class Trainer:
         t_start = time.perf_counter()
         rays_done = 0
 
+        train_arrays = self.train_store.arrays()
         step = int(state.step)
         while step < total_steps:
-            key, k_batch, k_step = jax.random.split(key, 3)
-            batch = sampler_lib.sample_batch(self.train_store, k_batch, cfg.batch_size)
+            key, k_step = jax.random.split(key)
             epoch_frac = self.epoch_fraction(step)
             scalars = self.scalar_fn(step, epoch_frac)
-            state, metrics = self.step_fn(state, batch, k_step, *scalars)
+            state, metrics = self._fused_step(state, train_arrays, k_step, *scalars)
             step += 1
             rays_done += cfg.batch_size
 
@@ -124,11 +140,23 @@ class Trainer:
         return state
 
     def _run_validation(self, state, step: int, key) -> None:
+        if not hasattr(self, "_fused_val"):
+            n_rays = self.val_store.n_rays
+            pixel_width = self.val_store.pixel_width
+            batch_size = self.cfg.batch_size
+
+            def fused_val(params, arrays, k):
+                idx = jax.random.randint(k, (batch_size,), 0, n_rays)
+                batch = sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+                return self.val_fn(params, batch)
+
+            self._fused_val = jax.jit(fused_val)
+            self._val_arrays = self.val_store.arrays()
+
         vals: Dict[str, list] = {}
         for i in range(self.cfg.val_batches):
             key, k = jax.random.split(key)
-            batch = sampler_lib.sample_batch(self.val_store, k, self.cfg.batch_size)
-            metrics = self.val_fn(state.params, batch)
+            metrics = self._fused_val(state.params, self._val_arrays, k)
             for name, v in metrics.items():
                 vals.setdefault(f"val_{name}", []).append(float(np.asarray(v)))
         self.metric_logger.log({k: float(np.mean(v)) for k, v in vals.items()}, step)

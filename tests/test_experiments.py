@@ -79,3 +79,79 @@ class TestBipBarf:
         state = exp.fit()
         rows = _metrics(str(tmp_path / "mip"))
         assert any("loss_coarse" in r for r in rows)
+
+
+class TestModelDefExperiments:
+    """CPU smoke tests for the ModelDef-plugged entry points."""
+
+    def test_3d_ingp(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_3d_ingp
+
+        args = run_3d_ingp.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "40",
+            "--samples_per_ray_fine", "16", "--samples_per_ray_coarse", "8",
+            "--n_levels", "2", "--table_size", "512", "--resolution_max", "16",
+            "--out_dir", str(tmp_path / "ingp3d"),
+        ])
+        exp = run_3d_ingp.build(args)
+        state = exp.fit()
+        rows = _metrics(str(tmp_path / "ingp3d"))
+        assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+    def test_siren(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_nerf_siren
+
+        args = run_nerf_siren.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "40",
+            "--samples_per_ray_fine", "16", "--samples_per_ray_coarse", "8",
+            "--out_dir", str(tmp_path / "siren"),
+        ])
+        exp = run_nerf_siren.build(args)
+        exp.fit()
+        rows = _metrics(str(tmp_path / "siren"))
+        assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+    def test_naive_to_vanilla(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_naive_to_vanilla
+
+        args = run_naive_to_vanilla.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "40",
+            "--samples_per_ray_fine", "16", "--samples_per_ray_coarse", "8",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--out_dir", str(tmp_path / "naive"),
+        ])
+        exp = run_naive_to_vanilla.build(args)
+        exp.fit()
+        rows = _metrics(str(tmp_path / "naive"))
+        assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+    def test_mip_nerf(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_mip_nerf
+
+        args = run_mip_nerf.parse_args([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "40",
+            "--samples_per_ray", "16", "--samples_per_ray_proposal", "8",
+            "--n_hidden", "1", "--hidden_dim", "32",
+            "--checkpoint_every_n_epochs", "0",
+            "--out_dir", str(tmp_path / "mip"),
+        ])
+        exp = run_mip_nerf.build(args)
+        assert exp.cfg.share_proposal_net
+        exp.fit()
+        rows = _metrics(str(tmp_path / "mip"))
+        assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+
+    def test_2d_reconstruction_and_ingp_quick(self, tmp_path):
+        from nerf_experiments_tpu.experiments import run_2d_ingp
+
+        args = run_2d_ingp.parse_args([
+            "--image_size", "32", "--steps", "300", "--batch_size", "1024",
+            "--n_levels", "4", "--table_size", "2048", "--resolution_max", "32",
+            "--out_dir", str(tmp_path / "g2d"),
+        ])
+        params, cfg, result = run_2d_ingp.train(args)
+        assert result["val_psnr"] > 12.0, result

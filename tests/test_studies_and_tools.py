@@ -1,0 +1,136 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestCameraSimilarity:
+    def test_closed_form_beats_iterative(self):
+        from nerf_experiments_tpu.experiments.studies import camera_similarity as cs
+        from nerf_experiments_tpu.ops.lie import so3_exp
+        from nerf_experiments_tpu.ops.kabsch import apply_similarity
+
+        pts = jax.random.normal(jax.random.PRNGKey(0), (40, 3))
+        R = so3_exp(jnp.array([0.4, -0.2, 0.9]))
+        target = apply_similarity(R, jnp.array([[1.0, 2.0, -0.5]]), 1.3, pts)
+        cf = cs.closed_form_align(pts, target)
+        assert cf["residual"] < 1e-4
+
+    def test_iterative_align_converges_rotation_only(self):
+        from nerf_experiments_tpu.experiments.studies import camera_similarity as cs
+        from nerf_experiments_tpu.ops.lie import so3_exp
+
+        pts = jax.random.normal(jax.random.PRNGKey(1), (60, 3))
+        R = np.asarray(so3_exp(jnp.array([0.3, 0.1, -0.4])))
+        target = pts @ R.T
+        out = cs.iterative_align(pts, jnp.asarray(target), lr=0.05, max_iter=500)
+        assert out["loss"][-1] < 1e-3
+
+    def test_scale_response(self):
+        from nerf_experiments_tpu.experiments.studies import camera_similarity as cs
+
+        res = cs.scale_response_study(scales=(1.0, 4.0), steps=200, n_points=128)
+        assert all(np.isfinite(v["final_loss"]) for v in res.values())
+
+
+class TestBulge:
+    def test_projection_geometry(self):
+        from nerf_experiments_tpu.experiments.studies.bulge import bulge_study
+
+        out = bulge_study()
+        # constant-z lines stay straight...
+        assert out["const_z_line_linear_residual"] < 1e-9
+        # ...while depth along z bulges (non-linear)
+        assert out["const_x_depth_nonlinearity"] > 1e-2
+
+
+class TestRotationCheck:
+    def test_all_conventions_hold(self):
+        from nerf_experiments_tpu.experiments.studies.rotation_check import convention_checks
+
+        checks = convention_checks()
+        assert all(checks.values()), checks
+
+
+class TestSweep:
+    def test_generates_scripts(self, tmp_path):
+        from nerf_experiments_tpu.experiments import sweep
+
+        scripts = sweep.main([
+            "--module", "run_barf",
+            "--grid", "start_blur_sigma=0,20", "seed=1,2",
+            "--out_dir", str(tmp_path),
+        ])
+        assert len(scripts) == 4
+        body = open(scripts[0]).read()
+        assert "run_barf" in body and "--start_blur_sigma 0" in body
+        assert os.access(scripts[0], os.X_OK)
+
+    def test_combinations_cartesian(self):
+        from nerf_experiments_tpu.experiments.sweep import combinations, parse_grid
+
+        combos = list(combinations(parse_grid(["a=1,2,3", "b=x,y"])))
+        assert len(combos) == 6
+        assert {"a": "1", "b": "x"} in combos
+
+
+class TestSchedules:
+    def test_le_nice_endpoints(self):
+        from nerf_experiments_tpu.training.schedules import le_nice
+
+        s = le_nice(5e-4, 1e-5, 1000)
+        assert abs(float(s(0)) - 5e-4) < 1e-9
+        assert abs(float(s(1000)) - 1e-5) < 1e-7
+        assert abs(float(s(5000)) - 1e-5) < 1e-7  # clamped after decay end
+
+    def test_garf_exponential_unclamped(self):
+        from nerf_experiments_tpu.training.schedules import garf_exponential
+
+        s = garf_exponential(1e-3, 1e-4, 100)
+        assert abs(float(s(100)) - 1e-4) < 1e-7
+        assert float(s(200)) < 1e-4  # keeps decaying (torch ExponentialLR)
+
+    def test_mip_sigma_schedule(self):
+        from nerf_experiments_tpu.training.schedules import mip_sigma_schedule
+
+        assert float(mip_sigma_schedule(0, 10, 100, 20.0, 20.0)) == 1.0
+        end = float(mip_sigma_schedule(100, 10, 100, 20.0, 20.0))
+        assert abs(end - 0.25 / 20.0) < 1e-5
+        assert float(mip_sigma_schedule(101, 10, 100, 20.0, 20.0)) == 0.0
+
+    def test_barf_sigma_alpha(self):
+        from nerf_experiments_tpu.training.schedules import barf_sigma_alpha
+
+        assert float(barf_sigma_alpha(jnp.asarray(0.0), 16.0)) == 16.0
+        assert float(barf_sigma_alpha(jnp.asarray(2.0), 16.0)) == 4.0
+        assert float(barf_sigma_alpha(jnp.asarray(10.0), 16.0)) == 0.0  # < 1/4 -> 0
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+        from nerf_experiments_tpu.systems import barf as barf_sys
+        from nerf_experiments_tpu.models import nerf_mlp
+        from nerf_experiments_tpu.encodings.fourier import Barf
+
+        cfg = barf_sys.BarfConfig(
+            radiance=nerf_mlp.NerfMLPConfig(
+                position_encoder=Barf(levels=2, scale=1.0),
+                direction_encoder=Barf(levels=2, scale=1.0),
+                n_hidden=1, hidden_dim=16, n_segments=1,
+            ),
+            n_training_images=2, samples_per_ray_radiance=4,
+        )
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(5, state, metadata={"seed": 0})
+        restored = mgr.restore(state)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert mgr.latest_step() == 5
+        mgr.close()
