@@ -42,8 +42,11 @@ def main():
         learning_rate_decay_end=200_000,
         compute_dtype=compute_dtype,
     )
+    radiance_def = radiance
+    if os.environ.get("BENCH_FUSED_MLP"):
+        radiance_def = barf_sys.FusedNerfMLPDef(radiance)
     cfg = barf_sys.BarfConfig(
-        radiance=radiance, n_training_images=100,
+        radiance=radiance_def, n_training_images=100,
         near=2.0, far=8.0,
         samples_per_ray_radiance=samples,
         uniform_sampling_strategy="equidistant",
@@ -82,6 +85,7 @@ def main():
             "steps_timed": steps,
             "step_ms": round(1000 * dt / steps, 3),
             "compute_dtype": "bf16" if compute_dtype is not None else "fp32",
+            "fused_mlp": bool(os.environ.get("BENCH_FUSED_MLP")),
             "device": str(jax.devices()[0]),
             "samples_per_sec": round(rays_per_sec * samples, 1),
         },

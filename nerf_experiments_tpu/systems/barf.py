@@ -60,6 +60,70 @@ class NerfMLPDef:
         return self.cfg.param_group
 
 
+@dataclasses.dataclass(frozen=True)
+class FusedNerfMLPDef:
+    """Segmented NerfModel evaluated with the fused Pallas MLP-chain kernel.
+
+    Same parameters/init/optimizer group as NerfMLPDef — only the execution
+    strategy differs: each segment and the color head run as one VMEM-
+    resident GEMM chain (`ops/fused_mlp.py`), so layer activations never
+    touch HBM. Encodings, concats, and heads stay in XLA (they fuse fine).
+    Numerically equivalent to NerfMLPDef up to matmul-order rounding.
+    """
+
+    cfg: nerf_mlp.NerfMLPConfig
+    interpret: bool = False
+
+    def init(self, key):
+        return nerf_mlp.init(key, self.cfg)
+
+    @property
+    def param_group(self) -> ParamGroup:
+        return self.cfg.param_group
+
+    def apply(self, params, pos, dir, pixel_width, t_start, t_end,
+              alpha_pos, alpha_dir, pixel_width_sigma=0.0):
+        from nerf_experiments_tpu.ops.fused_mlp import fused_chain
+
+        cfg = self.cfg
+        try:
+            pos_enc = cfg.position_encoder(
+                pos, dir, pixel_width, t_start, t_end, alpha=alpha_pos,
+                pixel_width_sigma=pixel_width_sigma,
+            )
+        except TypeError:
+            pos_enc = cfg.position_encoder(pos, dir, pixel_width, t_start, t_end,
+                                           alpha=alpha_pos)
+        dir_enc = cfg.direction_encoder(dir, alpha=alpha_dir)
+
+        z = jnp.zeros((pos_enc.shape[0], 0), dtype=pos_enc.dtype)
+        for i, segment in enumerate(params["segments"]):
+            if not cfg.delayed_direction:
+                z = jnp.concatenate([z, dir_enc], axis=-1)
+            z = fused_chain(
+                jnp.concatenate([z, pos_enc], axis=-1), segment["layers"],
+                compute_dtype=cfg.compute_dtype, interpret=self.interpret,
+            )
+            if i < cfg.n_segments - 1:
+                z = jax.nn.relu(z)
+
+        length = z.shape[-1] - (0 if cfg.delayed_density else 1)
+        if cfg.delayed_direction:
+            final_input = jnp.concatenate([z[:, :length], dir_enc], axis=-1)
+        else:
+            final_input = z[:, :length]
+        final_output = fused_chain(
+            final_input, params["color"],
+            compute_dtype=cfg.compute_dtype, interpret=self.interpret,
+        )
+        from nerf_experiments_tpu.models.common import softplus8
+
+        density_raw = final_output[:, -1] if cfg.delayed_density else z[:, -1]
+        density = softplus8(density_raw.astype(jnp.float32))
+        rgb = jax.nn.sigmoid(final_output[:, :3].astype(jnp.float32))
+        return density, rgb
+
+
 def _model_def(model):
     """Accept either a NerfMLPConfig (wrapped) or any ModelDef-like object
     exposing init/apply/param_group — this is how SIREN / hash-grid / fused-
