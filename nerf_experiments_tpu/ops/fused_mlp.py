@@ -15,6 +15,16 @@ tile 0), so no atomics and no extra HBM roundtrips.
 Used by `FusedNerfMLPDef` (systems/barf.py plug) to evaluate the segmented
 NerfModel's segments + color head; the segment concats (hidden ⊕ pos_enc)
 remain in XLA — 3 small HBM roundtrips instead of 13 large ones.
+
+MEASURED STATUS (v5e, canonical BARF shapes): a single isolated chain beats
+the equivalent XLA chain by ~1.4x (aligned dims), but inside the FULL train
+step the pallas_call boundaries force chain inputs/outputs + separate bwd
+kernels to materialize, losing more than VMEM residency gains — 19.3 ms vs
+8.8 ms/step. XLA's whole-graph fusion is the better default here; this
+kernel stays as a correct, tested opt-in (BENCH_FUSED_MLP=1) and the
+starting point for a future mega-kernel that also fuses the encodings and
+compositing per ray tile (that is where the remaining ~3x to speed-of-light
+lives).
 """
 from __future__ import annotations
 
@@ -36,6 +46,17 @@ def _dot(a, w, compute_dtype):
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
     return jnp.dot(a, w, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot_general(a, b, dims, compute_dtype):
+    """Contraction without materialized transposes (in-kernel relayouts on
+    TPU are expensive; let the MXU handle the operand orientation)."""
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _fwd_kernel(n_layers, compute_dtype, *refs):
@@ -83,7 +104,8 @@ def _bwd_kernel(n_layers, compute_dtype, *refs):
     g = g_ref[:].astype(jnp.float32)
     for i in range(n_layers - 1, -1, -1):
         a_prev = acts[i]
-        dw = _dot(a_prev.T, g, compute_dtype)  # (D_{i-1}, D_i)
+        # dW = a_prev^T @ g, contracted over the batch dim (no transpose)
+        dw = _dot_general(a_prev, g, (((0,), (0,)), ((), ())), compute_dtype)
         db = jnp.sum(g, axis=0, keepdims=True)
 
         @pl.when(first_tile)
@@ -97,10 +119,13 @@ def _bwd_kernel(n_layers, compute_dtype, *refs):
             db_ref[:] = db_ref[:] + db
 
         w = refs[1 + 2 * i][:]
-        g = _dot(g, w.T, compute_dtype)
+        # g @ W^T, contracted over the output dim (no transpose)
+        g = _dot_general(g, w, (((1,), (1,)), ((), ())), compute_dtype)
         if i > 0:
-            # relu' of the PRE-activation == (post-activation > 0)
-            g = g * (acts[i] > 0).astype(g.dtype)
+            # relu' of the PRE-activation == (post-activation > 0). Compare in
+            # fp32: Mosaic rejects bf16 comparisons ("Target does not support
+            # this comparison").
+            g = g * (acts[i].astype(jnp.float32) > 0.0).astype(g.dtype)
     dx_ref[:] = g.astype(dx_ref.dtype)  # g is now dL/dx (no relu on the input)
 
 
