@@ -162,6 +162,37 @@ def build(args):
         max_epochs=max_epochs, max_steps=args.max_steps,
         batch_size=args.batch_size, seed=args.seed,
     )
+    # ray-density profile logger (`garf/ray_logger.py` parity): density along
+    # the center ray of a named train image, from both networks
+    @jax.jit
+    def density_profiles(params, pos, dirs):
+        from nerf_experiments_tpu.models import garf as garf_models
+
+        rad_rgb, rad_density = garf_models.radiance_apply(
+            params["radiance"], cfg.net, pos, dirs
+        )
+        prop_density = garf_models.proposal_apply(params["proposal"], cfg.prop_cfg, pos)
+        return {
+            "radiance_density": rad_density,
+            "proposal_density": prop_density,
+            "rgb": rad_rgb,
+        }
+
+    ray_logger = loggers.RayDensityLogger(
+        density_fn=lambda params, pos, dirs: density_profiles(
+            params, jnp.asarray(pos), jnp.asarray(dirs)
+        ),
+        metric_logger=metric_logger,
+        image_names=["r_1"],
+        near=args.near, far=args.far,
+        schedule=loggers.TaperSchedule(0.002, 1 / 24, 1.0, 5.0),
+    )
+    callbacks = [
+        lambda trainer, state, step, ef: ray_logger.maybe_log(
+            ef, step, state.params, dm.dataset_train
+        )
+    ]
+
     trainer = Trainer(
         cfg=trainer_cfg,
         train_store=train_store,
@@ -171,6 +202,7 @@ def build(args):
         val_store=val_store,
         val_fn=val_step,
         pose_error_fn=pose_fn,
+        callbacks=callbacks,
     )
     return cfg, state, trainer
 

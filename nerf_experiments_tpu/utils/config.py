@@ -1,0 +1,112 @@
+"""Typed experiment presets — the one config system replacing the
+reference's per-script argparse/tyro duplication (SURVEY.md §5.6).
+
+Every reference entry point's canonical hyperparameters live here as frozen
+dataclasses; the CLIs in `experiments/` parse flags into these. Presets are
+also directly constructible for programmatic sweeps:
+
+    from nerf_experiments_tpu.utils.config import PRESETS
+    exp = PRESETS["barf_lego_400"].build()
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentPreset:
+    """A named, reproducible experiment configuration."""
+
+    name: str
+    module: str  # experiments module
+    argv: Tuple[str, ...]  # canonical CLI flags
+    description: str = ""
+
+    def build(self):
+        import importlib
+
+        mod = importlib.import_module(f"nerf_experiments_tpu.experiments.{self.module}")
+        args = mod.parse_args(list(self.argv))
+        return mod.build(args)
+
+    def run(self):
+        import importlib
+
+        mod = importlib.import_module(f"nerf_experiments_tpu.experiments.{self.module}")
+        return mod.main(list(self.argv))
+
+
+# Canonical workloads (BASELINE.md table). The reference's exact lego configs;
+# swap --scene_path for a real Blender dataset directory.
+PRESETS: Dict[str, ExperimentPreset] = {
+    p.name: p
+    for p in [
+        ExperimentPreset(
+            name="barf_lego_400",
+            module="run_barf",
+            argv=(
+                "--image_size", "400", "--batch_size", "1024",
+                "--samples_per_ray", "128", "--max_epochs", "100",
+                "--camera_origin_noise_sigma", "0.15",
+                "--camera_rotation_noise_sigma", "0.15",
+                "--seed", "134534", "--bf16",
+            ),
+            description="Canonical BARF: lego 400^2, pose noise 0.15, 100 epochs "
+            "(barf/run_barf.py defaults)",
+        ),
+        ExperimentPreset(
+            name="bip_barf_lego_400",
+            module="run_bip_barf",
+            argv=("--image_size", "400", "--batch_size", "1024", "--bf16"),
+            description="Mip-BARF with blur/IPE sigma schedules (run_bip_barf.py)",
+        ),
+        ExperimentPreset(
+            name="garf_lego_400",
+            module="garf_main",
+            argv=("--activation", "gauss", "--image_size", "400",
+                  "--batch_size", "1024", "--bf16"),
+            description="GARF: 64+192 lindisp proposal sampling, 40 epochs "
+            "(garf/main.py defaults)",
+        ),
+        ExperimentPreset(
+            name="gaborf_lego_400",
+            module="garf_main",
+            argv=("--activation", "gabor", "--image_size", "400",
+                  "--batch_size", "1024", "--bf16"),
+            description="GaborF (gaborf/main.py defaults)",
+        ),
+        ExperimentPreset(
+            name="sarf_lego_400",
+            module="garf_main",
+            argv=("--activation", "sarf", "--image_size", "400",
+                  "--batch_size", "1024", "--bf16"),
+            description="SARF (sarf/main.py defaults)",
+        ),
+        ExperimentPreset(
+            name="mip_nerf_lego_800",
+            module="run_mip_nerf",
+            argv=("--image_size", "800", "--batch_size", "2048", "--bf16"),
+            description="Mip-NeRF: lego 800^2, batch 2048, near/far 1/10-1/3 "
+            "(mip_NeRF/main.py defaults)",
+        ),
+        ExperimentPreset(
+            name="vanilla_nerf_lego_400",
+            module="run_naive_to_vanilla",
+            argv=("--image_size", "400", "--batch_size", "1024", "--bf16"),
+            description="Vanilla NeRF with coarse+fine (naive-to-vanilla)",
+        ),
+        ExperimentPreset(
+            name="ingp3d_lego_400",
+            module="run_3d_ingp",
+            argv=("--image_size", "400", "--batch_size", "4096", "--bf16"),
+            description="3-D hash-grid NeRF (3d-ingp)",
+        ),
+        ExperimentPreset(
+            name="siren_lego_400",
+            module="run_nerf_siren",
+            argv=("--image_size", "400", "--batch_size", "1024", "--bf16"),
+            description="SIREN NeRF (nerf-siren)",
+        ),
+    ]
+}

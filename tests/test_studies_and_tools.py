@@ -134,3 +134,42 @@ class TestCheckpoints:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert mgr.latest_step() == 5
         mgr.close()
+
+
+class TestConfigPresets:
+    def test_presets_parse(self):
+        from nerf_experiments_tpu.utils.config import PRESETS
+
+        assert "barf_lego_400" in PRESETS and len(PRESETS) >= 8
+        # every preset's argv must parse with its module's CLI
+        import importlib
+
+        for p in PRESETS.values():
+            mod = importlib.import_module(
+                f"nerf_experiments_tpu.experiments.{p.module}"
+            )
+            args = mod.parse_args(list(p.argv))
+            assert args is not None
+
+
+class TestPEMaskVisualiser:
+    def test_weights_monotone_in_alpha(self):
+        from nerf_experiments_tpu.experiments.studies.visualise_pe_mask import (
+            pe_mask_weights,
+        )
+
+        ts, weights = pe_mask_weights(levels=6, alphas=(0.0, 3.0, 6.0), n_t=8)
+        # alpha=0: all frequency weights masked to ~0
+        assert np.asarray(weights[0.0]).max() < 1e-6
+        # higher alpha unlocks more frequencies (more total weight)
+        assert weights[6.0].sum() > weights[3.0].sum() > 0
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from nerf_experiments_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(sync=lambda m: None, warmup=2)
+        for i in range(10):
+            t.tick({}, rays=100)
+        assert t.rays_per_sec() > 0
