@@ -74,6 +74,24 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch_size * steps / dt
+
+    # inference/render throughput (the image-logger / serving path): forward
+    # only, deterministic sampling, no gradients
+    @jax.jit
+    def render(params, origs, dirs, pw):
+        rgb, _ = barf_sys.forward(
+            params, cfg, None, origs, dirs, pw, a_pos, a_dir, stratified=False
+        )
+        return rgb
+
+    r = render(state.params, batch["origs_raw"], batch["dirs_raw"], batch["pixel_width"])
+    float(r[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r = render(state.params, batch["origs_raw"], batch["dirs_raw"], batch["pixel_width"])
+    float(r[0, 0])
+    render_rays_per_sec = batch_size * steps / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "barf_train_rays_per_sec_1chip",
         "value": round(rays_per_sec, 1),
@@ -88,6 +106,7 @@ def main():
             "fused_mlp": bool(os.environ.get("BENCH_FUSED_MLP")),
             "device": str(jax.devices()[0]),
             "samples_per_sec": round(rays_per_sec * samples, 1),
+            "render_rays_per_sec": round(render_rays_per_sec, 1),
         },
     }))
 

@@ -201,3 +201,33 @@ class TestIngpModels:
         dir = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
         density, rgb = ingp.nerf_ingp_apply(params, cfg, pos, dir)
         assert density.shape == (16,) and rgb.shape == (16, 3)
+
+
+class TestHashGridNumpyParity:
+    def test_hashed_mode_matches_numpy_reference(self):
+        """SURVEY §4 invariant (g): the hashed-mode gather+interp agrees with
+        a direct numpy implementation of xor-hash + multilinear weights."""
+        cfg = hashgrid.HashGridConfig(dim=2, resolution_min=16, resolution_max=16,
+                                      table_size=64,  # forces hashing (< 17^2)
+                                      n_features=2, n_levels=1)
+        assert not cfg.bijective(16)
+        params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+        table = np.asarray(params["table"][0])
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (32, 2)) * 0.95)
+
+        out = np.asarray(hashgrid.encode(params, cfg, jnp.asarray(x)))
+
+        xs = x * 16
+        f = np.floor(xs).astype(np.int64)
+        expected = np.zeros((32, 2))
+        pi1, pi2 = cfg.primes[0], cfg.primes[1]
+        for di in (0, 1):
+            for dj in (0, 1):
+                cx, cy = f[:, 0] + di, f[:, 1] + dj
+                idx = (np.uint32(pi1) * cx.astype(np.uint32)) ^ (
+                    np.uint32(pi2) * cy.astype(np.uint32)
+                )
+                idx = (idx % np.uint32(64)).astype(np.int64)
+                w = (1 - np.abs(xs[:, 0] - cx)) * (1 - np.abs(xs[:, 1] - cy))
+                expected += table[idx] * w[:, None]
+        np.testing.assert_allclose(out, expected, atol=1e-6)
