@@ -1,0 +1,131 @@
+"""Render full views from a trained checkpoint + report test-split PSNR.
+
+The serving/eval analogue of the reference's image-logger path (SURVEY.md
+§3.4): loads an orbax checkpoint produced by run_barf / run_bip_barf /
+run_vanilla_as_barf, re-renders whole images (train space through the
+learned extrinsics, val/test space through the Kabsch gauge), writes PNGs,
+and prints per-image + mean PSNR as one JSON line.
+
+    python -m nerf_experiments_tpu.experiments.render_views \
+        --ckpt_dir runs/latest/ckpt --scene_path synthetic --split test
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_experiments_tpu.cameras import calibration
+from nerf_experiments_tpu.data import blender
+from nerf_experiments_tpu.experiments import common, run_barf
+from nerf_experiments_tpu.ops.metrics import psnr
+from nerf_experiments_tpu.systems import barf as barf_sys
+from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--ckpt_step", type=int, default=None)
+    p.add_argument("--split", choices=["train", "val", "test"], default="test")
+    p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
+    p.add_argument("--chunk", type=int, default=4096)
+    # run_barf config flags needed to rebuild the same model
+    run_barf_args = [
+        "--camera_origin_noise_sigma", "--camera_rotation_noise_sigma",
+        "--start_blur_sigma", "--n_blur_sigmas", "--samples_per_ray",
+        "--samples_per_ray_proposal", "--hidden_dim", "--n_hidden",
+        "--n_segments", "--fourier_levels_pos", "--fourier_levels_dir",
+    ]
+    defaults = run_barf.parse_args([])
+    for flag in run_barf_args:
+        name = flag.lstrip("-")
+        p.add_argument(flag, type=type(getattr(defaults, name)),
+                       default=getattr(defaults, name))
+    common.add_common_args(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    # rebuild the experiment config (weights come from the checkpoint)
+    barf_args = run_barf.parse_args([
+        "--scene_path", args.scene_path, "--image_size", str(args.image_size),
+        "--batch_size", str(args.batch_size),
+        "--camera_origin_noise_sigma", str(args.camera_origin_noise_sigma),
+        "--camera_rotation_noise_sigma", str(args.camera_rotation_noise_sigma),
+        "--samples_per_ray", str(args.samples_per_ray),
+        "--samples_per_ray_proposal", str(args.samples_per_ray_proposal),
+        "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
+        "--n_segments", str(args.n_segments),
+        "--checkpoint_every_n_epochs", "0",
+        "--seed", str(args.seed), "--out_dir", args.out_dir,
+    ] + (["--bf16"] if args.bf16 else []))
+    exp = run_barf.build(barf_args)
+    mgr = CheckpointManager(args.ckpt_dir)
+    state = mgr.restore(exp.state, step=args.ckpt_step)
+
+    dm = exp.dm
+    if args.split == "test":
+        dm.setup("test")
+    dataset = {"train": dm.dataset_train, "val": dm.dataset_val,
+               "test": dm.dataset_test}[args.split]
+    assert dataset is not None, f"split {args.split} not available"
+
+    raw = jnp.asarray(dm.dataset_train.camera_origins)
+    noisy = jnp.asarray(dm.dataset_train.camera_origins_noisy)
+
+    @jax.jit
+    def render_chunk(params, origs, dirs, pw):
+        gauge = barf_sys.val_gauge(params, raw, noisy)
+        o, d = calibration.validation_transform_rays(origs, dirs, gauge)
+        enc = exp.cfg.radiance.position_encoder if hasattr(exp.cfg.radiance, "position_encoder") else None
+        a_pos = jnp.asarray(float(getattr(enc, "levels", 0)))
+        rgb, _ = barf_sys.forward(
+            params, exp.cfg, None, o, d, pw, a_pos, jnp.asarray(4.0),
+            stratified=False,
+        )
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    h, w = dataset.image_height, dataset.image_width
+    hw = h * w
+    results = []
+    os.makedirs(os.path.join(args.out_dir, "renders"), exist_ok=True)
+    n_images = min(args.n_images or dataset.n_images, dataset.n_images)
+    for i in range(n_images):
+        origs = dataset.ray_origins[i]
+        dirs = dataset.ray_directions[i]
+        out = np.empty((hw, 3), np.float32)
+        for lo in range(0, hw, args.chunk):
+            hi = min(lo + args.chunk, hw)
+            out[lo:hi] = np.asarray(render_chunk(
+                state.params, jnp.asarray(origs[lo:hi]), jnp.asarray(dirs[lo:hi]),
+                jnp.full((hi - lo, 1), dataset.pixel_width),
+            ))
+        target = dataset.images[i, :, :, -1, :].reshape(hw, 3)
+        m = float(np.mean((out - target) ** 2))
+        img_psnr = float(psnr(jnp.asarray(m)))
+        name = dataset.image_index_to_name[i]
+        results.append({"image": name, "psnr": img_psnr})
+        try:
+            from PIL import Image
+
+            Image.fromarray((out.reshape(h, w, 3) * 255).astype(np.uint8)).save(
+                os.path.join(args.out_dir, "renders", f"{args.split}_{name}.png")
+            )
+        except ImportError:
+            pass
+
+    mean_psnr = float(np.mean([r["psnr"] for r in results]))
+    summary = {"split": args.split, "mean_psnr": mean_psnr, "per_image": results,
+               "ckpt_step": mgr.latest_step() if args.ckpt_step is None else args.ckpt_step}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,8 @@ def parse_args(argv=None):
     p.add_argument("--fourier_levels_dir", type=int, default=4)
     p.add_argument("--checkpoint_every_n_epochs", type=float, default=1.0,
                    help="0 disables checkpointing")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
     p.add_argument("--alpha_decay_end_step", type=int, default=100_000)
     common.add_common_args(p)
@@ -133,6 +135,18 @@ def build(args) -> common.BarfExperiment:
 def main(argv=None):
     args = parse_args(argv)
     exp = build(args)
+    if args.resume:
+        # resume from the latest checkpoint in out_dir/ckpt (the reference's
+        # `trainer.fit(..., ckpt_path=...)`, barf/run_barf.py:198)
+        from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+        import os
+
+        ckpt_dir = os.path.join(args.out_dir, "ckpt")
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            exp.state = mgr.restore(exp.state)
+            print(f"resumed from step {mgr.latest_step()}")
     return exp.fit()
 
 

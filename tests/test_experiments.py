@@ -155,3 +155,53 @@ class TestModelDefExperiments:
         ])
         params, cfg, result = run_2d_ingp.train(args)
         assert result["val_psnr"] > 12.0, result
+
+
+class TestResumeAndRender:
+    def test_checkpoint_resume_continues(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_barf
+
+        base = [
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--samples_per_ray", "16",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--camera_origin_noise_sigma", "0.0",
+            "--camera_rotation_noise_sigma", "0.0",
+            "--no-optimize_camera",
+            "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--checkpoint_every_n_epochs", "1",
+            "--out_dir", str(tmp_path / "run"),
+        ]
+        state1 = run_barf.main(base + ["--max_steps", "30"])
+        assert int(state1.step) == 30
+        # resume: continues from the saved step, not from zero
+        state2 = run_barf.main(base + ["--max_steps", "50", "--resume"])
+        assert int(state2.step) == 50
+
+    def test_render_views_reports_psnr(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import render_views, run_barf
+
+        out = str(tmp_path / "run")
+        run_barf.main([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "120",
+            "--samples_per_ray", "16",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--camera_origin_noise_sigma", "0.0",
+            "--camera_rotation_noise_sigma", "0.0",
+            "--no-optimize_camera",
+            "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--checkpoint_every_n_epochs", "1",
+            "--out_dir", out,
+        ])
+        summary = render_views.main([
+            "--ckpt_dir", os.path.join(out, "ckpt"),
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--samples_per_ray", "16",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--split", "test", "--n_images", "2", "--chunk", "288",
+            "--out_dir", out,
+        ])
+        assert summary["mean_psnr"] > 8.0, summary
+        renders = os.listdir(os.path.join(out, "renders"))
+        assert len(renders) == 2
