@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--integrations", nargs="+", default=["left", "middle"])
     p.add_argument("--offsets", nargs="+", type=float, default=[0.0, -1.0])
     p.add_argument("--steps_per_cell", type=int, default=500)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--n_hidden", type=int, default=4)
     p.add_argument("--use_proposal", action="store_true", default=False)
     common.add_common_args(p)
     return p.parse_args(argv)
@@ -51,6 +53,7 @@ def main(argv=None):
             "--no-optimize_camera",
             "--checkpoint_every_n_epochs", "0",
             "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
             "--samples_per_ray_proposal",
             "32" if args.use_proposal else "0",
             "--out_dir", out_dir,
@@ -65,7 +68,10 @@ def main(argv=None):
             integration_strategy=integration,
             uniform_sampling_offset_size=offset,
         )
-        # rebuild the jitted step with the modified static config
+        # rebuild the jitted step with the modified static config. NOTE this
+        # must happen BEFORE the first trainer step (the fused step closure
+        # reads trainer.step_fn at first trace); val metrics keep the
+        # original cfg's sampler, which is fine — the grid reads train psnr.
         from nerf_experiments_tpu.systems import barf as barf_sys
 
         tx = barf_sys.make_optimizer(exp.cfg, exp.state.params)

@@ -205,3 +205,22 @@ class TestResumeAndRender:
         assert summary["mean_psnr"] > 8.0, summary
         renders = os.listdir(os.path.join(out, "renders"))
         assert len(renders) == 2
+
+
+class TestSamplingAblation:
+    def test_grid_runs_and_summarizes(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import run_sampling_test
+
+        results = run_sampling_test.main([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--steps_per_cell", "60",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--strategies", "equidistant",
+            "--integrations", "left", "middle",
+            "--offsets", "0.0",
+            "--out_dir", str(tmp_path / "grid"),
+        ])
+        assert len(results) == 2
+        assert all(r["final_psnr"] is not None and np.isfinite(r["final_psnr"])
+                   for r in results)
+        assert os.path.exists(tmp_path / "grid" / "summary.json")
