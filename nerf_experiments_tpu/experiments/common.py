@@ -119,7 +119,7 @@ def build_barf_experiment(
     @jax.jit
     def val_step(params, batch):
         gauge = barf_sys.val_gauge(params, raw, noisy)
-        n_steps = trainer_cfg.max_epochs  # alpha at current point ~ use full alpha
+        # validation uses fully-unlocked encodings (alpha = levels)
         a_pos = jnp.asarray(float(getattr(pos_enc, "levels", 0)))
         a_dir = jnp.asarray(float(getattr(dir_enc, "levels", 0)))
         _, metrics = barf_sys.loss_fn(

@@ -59,6 +59,8 @@ def parse_args(argv=None):
     p.add_argument("--radiance_weight_decay", type=float, default=1e-9)
     p.add_argument("--proposal_samples_per_ray", type=int, default=64)
     p.add_argument("--radiance_samples_per_ray", type=int, default=192)
+    p.add_argument("--scheduler_period_epoch_fraction", type=float, default=None,
+                   help="gaborf-style rate-limited LR stepping (default 0.02 for gabor)")
     p.add_argument("--near", type=float, default=2.0)
     p.add_argument("--far", type=float, default=7.0)
     common.add_common_args(p)
@@ -118,6 +120,9 @@ def build(args):
         weight_decay=args.proposal_weight_decay,
         compute_dtype=compute_dtype,
     )
+    period = args.scheduler_period_epoch_fraction
+    if period is None and args.activation == "gabor":
+        period = 0.02  # gaborf/main.py scheduler period
     cfg = garf_system.GarfSystemConfig(
         n_train_images=dm.n_training_images,
         near=args.near, far=args.far,
@@ -127,6 +132,7 @@ def build(args):
         camera_learning_rate_start=cam_lr_start,
         camera_learning_rate_stop=cam_lr_stop,
         camera_learning_rate_decay_end=epochs_to_steps(args.camera_learning_rate_decay_end),
+        scheduler_steps_per_period=max(1, epochs_to_steps(period)) if period else 1,
     )
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)

@@ -72,7 +72,6 @@ def build(args) -> common.BarfExperiment:
         validation_fraction_shuffle=1234,
     )
 
-    n_rays_per_epoch = None  # filled after setup; alpha uses epoch fraction
     def iter_to_epoch(it):
         return it * args.batch_size / (dm.n_training_images * args.image_size**2)
 

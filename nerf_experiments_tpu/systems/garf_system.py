@@ -48,6 +48,10 @@ class GarfSystemConfig:
     camera_learning_rate_decay_end: int = 10_000
     optimize_camera: bool = True
 
+    # gaborf steps its schedulers only at epoch-fraction milestones
+    # (`gaborf/model_gaborf.py:284-303`); 1 = per-step (garf/sarf)
+    scheduler_steps_per_period: int = 1
+
     @property
     def prop_cfg(self) -> garf.GarfConfig:
         return self.proposal_net if self.proposal_net is not None else self.net
@@ -93,7 +97,14 @@ def make_optimizer(cfg: GarfSystemConfig, params: Dict) -> optax.GradientTransfo
         "radiance": garf.param_labels(params["radiance"], "radiance_lin", "radiance_act"),
         "camera": optim.constant_labels(params["camera"], "camera"),
     }
-    return optim.multi_group_adam(groups, labels, schedule_kind="garf_exponential")
+    kind = (
+        "quantized_exponential" if cfg.scheduler_steps_per_period > 1
+        else "garf_exponential"
+    )
+    return optim.multi_group_adam(
+        groups, labels, schedule_kind=kind,
+        scheduler_steps_per_period=cfg.scheduler_steps_per_period,
+    )
 
 
 def forward(

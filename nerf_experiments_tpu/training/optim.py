@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import optax
 
 from nerf_experiments_tpu.models.common import ParamGroup
-from nerf_experiments_tpu.training.schedules import garf_exponential, le_nice
+from nerf_experiments_tpu.training.schedules import (
+    garf_exponential,
+    le_nice,
+    quantized_exponential,
+)
 
 
 def multi_group_adam(
@@ -33,14 +37,27 @@ def multi_group_adam(
     schedule_kind: str = "le_nice",
     adam_b1: float = 0.9,
     adam_b2: float = 0.999,
+    scheduler_steps_per_period: int = 1,
 ) -> optax.GradientTransformation:
     """Build the optimizer.
 
     groups: label -> ParamGroup hyperparameters.
     labels: pytree (same structure as params) of label strings, or a callable
             params -> labels for optax.multi_transform.
+    schedule_kind: "le_nice" (clamped closed-form), "garf_exponential"
+    (unclamped per-step), or "quantized_exponential" (gaborf's epoch-fraction
+    staircase with `scheduler_steps_per_period` steps per LR update).
     """
-    schedule_fn = le_nice if schedule_kind == "le_nice" else garf_exponential
+    if schedule_kind == "le_nice":
+        schedule_fn = le_nice
+    elif schedule_kind == "garf_exponential":
+        schedule_fn = garf_exponential
+    elif schedule_kind == "quantized_exponential":
+        schedule_fn = lambda a, b, c: quantized_exponential(
+            a, b, c, scheduler_steps_per_period
+        )
+    else:
+        raise ValueError(f"unknown schedule_kind {schedule_kind!r}")
     transforms = {}
     for label, g in groups.items():
         sched = schedule_fn(g.learning_rate_start, g.learning_rate_stop, g.learning_rate_decay_end)

@@ -55,6 +55,28 @@ def garf_exponential(
     return schedule
 
 
+def quantized_exponential(
+    start_lr: float,
+    stop_lr: float,
+    number_of_steps: Optional[int],
+    steps_per_period: int,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """gaborf's rate-limited scheduler stepping (`gaborf/model_gaborf.py:284-303`):
+    the ExponentialLR is stepped only at epoch-fraction milestones, so the LR
+    decays in a staircase — gamma^(floor(step / steps_per_period)) with gamma
+    chosen per period so the endpoints match garf_exponential's."""
+    if not number_of_steps or number_of_steps <= 0 or start_lr == 0:
+        return lambda step: jnp.asarray(start_lr, jnp.float32)
+    n_periods = max(number_of_steps // max(steps_per_period, 1), 1)
+    log_gamma = (math.log(stop_lr) - math.log(start_lr)) / n_periods
+
+    def schedule(step):
+        k = jnp.floor(jnp.asarray(step, jnp.float32) / steps_per_period)
+        return start_lr * jnp.exp(log_gamma * k)
+
+    return schedule
+
+
 def barf_sigma_alpha(alpha: jnp.ndarray, sigma_max: float) -> jnp.ndarray:
     """Blur sigma coupled to the BARF annealing alpha (`get_sigma_alpha`)."""
     sigma = sigma_max * 2.0 ** (-alpha)

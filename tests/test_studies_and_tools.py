@@ -173,3 +173,15 @@ class TestProfiling:
         for i in range(10):
             t.tick({}, rays=100)
         assert t.rays_per_sec() > 0
+
+
+class TestQuantizedSchedule:
+    def test_staircase(self):
+        from nerf_experiments_tpu.training.schedules import quantized_exponential
+
+        s = quantized_exponential(1e-3, 1e-4, 1000, steps_per_period=100)
+        # constant within a period
+        assert float(s(0)) == float(s(99))
+        assert float(s(100)) < float(s(99))
+        # endpoint matches after all periods
+        assert abs(float(s(1000)) - 1e-4) < 1e-7
