@@ -22,6 +22,48 @@ import jax.numpy as jnp
 NORTH_STAR_RAYS_PER_SEC = 5e6
 
 
+def bench_garf(batch_size: int, steps: int, compute_dtype):
+    """GARF canonical workload: 64 proposal + 192 radiance samples, lindisp
+    stratified estimator (`garf/main.py` defaults)."""
+    from nerf_experiments_tpu.models import garf as garf_models
+    from nerf_experiments_tpu.systems import garf_system
+    from __graft_entry__ import _example_batch
+
+    cfg = garf_system.GarfSystemConfig(
+        n_train_images=100,
+        net=garf_models.GarfConfig(init_min=0.5, init_max=2.0,
+                                   learning_rate_decay_end=10_000,
+                                   compute_dtype=compute_dtype),
+    )
+    state = garf_system.init(jax.random.PRNGKey(0), cfg)
+    tx = garf_system.make_optimizer(cfg, state.params)
+    step = garf_system.make_train_step(cfg, tx, donate=True)
+    batch = _example_batch(jax.random.PRNGKey(1), batch_size)
+    keys = jax.random.split(jax.random.PRNGKey(2), steps + 5)
+    for i in range(5):
+        state, metrics = step(state, batch, keys[i])
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch, keys[5 + i])
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    rays_per_sec = batch_size * steps / dt
+    print(json.dumps({
+        "metric": "garf_train_rays_per_sec_1chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
+        "detail": {
+            "batch_size": batch_size, "steps_timed": steps,
+            "samples": "64 proposal + 192 radiance (lindisp)",
+            "step_ms": round(1000 * dt / steps, 3),
+            "compute_dtype": "bf16" if compute_dtype is not None else "fp32",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def main():
     from nerf_experiments_tpu.encodings.fourier import Barf
     from nerf_experiments_tpu.models import nerf_mlp
@@ -32,6 +74,9 @@ def main():
     samples = int(os.environ.get("BENCH_SAMPLES", 128))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     compute_dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else None
+
+    if os.environ.get("BENCH_SYSTEM") == "garf":
+        return bench_garf(batch_size, steps, compute_dtype)
 
     radiance = nerf_mlp.NerfMLPConfig(
         position_encoder=Barf(levels=10, scale=1.0, include_identity=True),
