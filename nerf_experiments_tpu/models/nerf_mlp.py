@@ -134,6 +134,11 @@ def apply(
     except TypeError:
         pos_enc = cfg.position_encoder(pos, dir, pixel_width, t_start, t_end, alpha=alpha_pos)
     dir_enc = cfg.direction_encoder(dir, alpha=alpha_dir)
+    if cfg.compute_dtype is not None:
+        # store the (B, 63/27) encodings at compute width — they are re-read
+        # by every segment and by the backward pass (HBM-bound step)
+        pos_enc = pos_enc.astype(cfg.compute_dtype)
+        dir_enc = dir_enc.astype(cfg.compute_dtype)
 
     z = jnp.zeros((pos_enc.shape[0], 0), dtype=pos_enc.dtype)
     for i, segment in enumerate(params["segments"]):

@@ -111,9 +111,10 @@ def sampling(
             prop_samples[level + 1] if level + 1 < len(prop_samples) else num_samples
         )
         # Resample next level's edges from this level's histogram (in s-space).
+        # No sort: monotone quantiles through a monotone CDF stay sorted.
         resample_key = keys[level + 1] if stratified else None
         new_s = sample_pdf(s_edges, jax.lax.stop_gradient(weights), next_n + 1, key=resample_key)
-        s_edges = jax.lax.stop_gradient(jnp.sort(new_s, axis=-1))
+        s_edges = jax.lax.stop_gradient(new_s)
 
     t_edges = s_to_t(s_edges, near_plane, far_plane, sampling_type)
     aux = ProposalAux(
@@ -130,7 +131,7 @@ def _outer_measure(
 
     edges_q (N, Q+1), edges_ref (N, R+1), w_ref (N, R) -> (N, Q).
     """
-    from nerf_experiments_tpu.ops.sampling import take_along_last
+    from nerf_experiments_tpu.ops.sampling import searchsorted_rows, take_along_last
 
     cw = jnp.concatenate(
         [jnp.zeros_like(w_ref[:, :1]), jnp.cumsum(w_ref, axis=-1)], axis=-1
@@ -138,20 +139,16 @@ def _outer_measure(
 
     # mass of ref intervals fully inside (-inf, x]: cumweight at the last ref
     # edge <= x for the lower bound, first ref edge >= x for the upper bound
-    # (captures partial overlaps on both sides). Row-wise searchsorted via
-    # vmap; gathers flattened (see take_along_last) for sane compile times.
+    # (captures partial overlaps on both sides). Vectorized searchsorted +
+    # flattened gathers (binary search / 2D gathers are TPU anti-patterns
+    # here — see searchsorted_rows / take_along_last).
     lo_idx = jnp.clip(
-        jax.vmap(lambda er, eq: jnp.searchsorted(er, eq, side="left"))(
-            edges_ref, edges_q[:, :-1]
-        )
-        - 1,
+        searchsorted_rows(edges_ref, edges_q[:, :-1], side="left") - 1,
         0,
         cw.shape[1] - 1,
     )
     hi_idx = jnp.clip(
-        jax.vmap(lambda er, eq: jnp.searchsorted(er, eq, side="right"))(
-            edges_ref, edges_q[:, 1:]
-        ),
+        searchsorted_rows(edges_ref, edges_q[:, 1:], side="right"),
         0,
         cw.shape[1] - 1,
     )

@@ -173,3 +173,24 @@ class TestProposal:
         g = jax.grad(loss_fn)(jnp.full((n, b), 0.1))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestMonotonicity:
+    def test_sample_pdf_outputs_sorted_without_sort(self):
+        # inverse-CDF with monotone quantiles must be monotone (no sort in path)
+        key = jax.random.PRNGKey(9)
+        edges = jnp.sort(jax.random.uniform(key, (16, 33)) * 6 + 2, axis=-1)
+        w = jax.random.uniform(jax.random.PRNGKey(10), (16, 32)) + 0.01
+        for k in [None, jax.random.PRNGKey(11)]:
+            t = np.asarray(sampling.sample_pdf(edges, w, 64, key=k))
+            assert (np.diff(t, axis=-1) >= -1e-6).all()
+
+    def test_searchsorted_rows_matches_numpy(self):
+        key = jax.random.PRNGKey(12)
+        arr = jnp.sort(jax.random.uniform(key, (8, 20)), axis=-1)
+        q = jax.random.uniform(jax.random.PRNGKey(13), (8, 15))
+        for side in ("left", "right"):
+            got = np.asarray(sampling.searchsorted_rows(arr, q, side=side))
+            ref = np.stack([np.searchsorted(np.asarray(arr[i]), np.asarray(q[i]), side=side)
+                            for i in range(8)])
+            np.testing.assert_array_equal(got, ref)
