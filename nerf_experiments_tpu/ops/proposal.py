@@ -131,7 +131,7 @@ def _outer_measure(
 
     edges_q (N, Q+1), edges_ref (N, R+1), w_ref (N, R) -> (N, Q).
     """
-    from nerf_experiments_tpu.ops.sampling import searchsorted_rows, take_along_last
+    from nerf_experiments_tpu.ops.sampling import onehot_select, searchsorted_rows
 
     cw = jnp.concatenate(
         [jnp.zeros_like(w_ref[:, :1]), jnp.cumsum(w_ref, axis=-1)], axis=-1
@@ -140,8 +140,8 @@ def _outer_measure(
     # mass of ref intervals fully inside (-inf, x]: cumweight at the last ref
     # edge <= x for the lower bound, first ref edge >= x for the upper bound
     # (captures partial overlaps on both sides). Vectorized searchsorted +
-    # flattened gathers (binary search / 2D gathers are TPU anti-patterns
-    # here — see searchsorted_rows / take_along_last).
+    # one-hot-matmul selection (binary search / gathers are TPU
+    # anti-patterns here — see searchsorted_rows / onehot_select).
     lo_idx = jnp.clip(
         searchsorted_rows(edges_ref, edges_q[:, :-1], side="left") - 1,
         0,
@@ -152,7 +152,7 @@ def _outer_measure(
         0,
         cw.shape[1] - 1,
     )
-    return take_along_last(cw, hi_idx) - take_along_last(cw, lo_idx)
+    return onehot_select(cw, hi_idx) - onehot_select(cw, lo_idx)
 
 
 def compute_loss(

@@ -56,6 +56,15 @@ def searchsorted_rows(
     return jnp.sum(cmp.astype(jnp.int32), axis=-1)
 
 
+def onehot_select(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values (N, W), idx (N, Q) -> values[n, idx[n, q]] via a one-hot MXU
+    einsum (TPU gathers run on the scalar unit; for W up to a few hundred
+    the dense one-hot matmul is much faster)."""
+    w = values.shape[-1]
+    oh = (idx[..., None] == jnp.arange(w, dtype=idx.dtype)).astype(values.dtype)
+    return jnp.einsum("nqw,nw->nq", oh, values, precision=jax.lax.Precision.HIGHEST)
+
+
 def intervals_from_t(t: jnp.ndarray, far: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """t (N, S) sorted -> (t_start, t_end) with t_end[-1] = far."""
     t_start = t
@@ -136,12 +145,23 @@ def sample_pdf(
             + jax.random.uniform(key, (n_rays, n_samples), dtype=w.dtype)
         ) / n_samples
 
-    # index of the bin containing each quantile (vectorized searchsorted)
-    idx = jnp.clip(searchsorted_rows(cdf, u, side="right") - 1, 0, n_bins - 1)
-    cdf_lo = take_along_last(cdf, idx)
-    cdf_hi = take_along_last(cdf, idx + 1)
-    e_lo = take_along_last(t_edges, idx)
-    e_hi = take_along_last(t_edges, idx + 1)
+    # Bin selection as a ONE-HOT MATMUL: gathers on TPU run on the scalar
+    # unit and dominated the estimator (measured); the (N, S, B) one-hot is
+    # a by-product of the dense comparison and the four "gathers" become
+    # batched MXU einsums. Residual mass (u beyond cdf's last edge from fp
+    # rounding) is dumped into the last bin.
+    cmp = (cdf[:, None, :] <= u[:, :, None]).astype(w.dtype)  # (N, S, B+1)
+    onehot = cmp[..., :-1] * (1.0 - cmp[..., 1:])  # (N, S, B)
+    onehot = onehot.at[..., -1].add(1.0 - jnp.sum(onehot, axis=-1))
+
+    def sel(vals):  # (N, B) -> (N, S)
+        return jnp.einsum("nsb,nb->ns", onehot, vals,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    cdf_lo = sel(cdf[:, :-1])
+    cdf_hi = sel(cdf[:, 1:])
+    e_lo = sel(t_edges[:, :-1])
+    e_hi = sel(t_edges[:, 1:])
 
     denom = jnp.where(cdf_hi - cdf_lo < eps, 1.0, cdf_hi - cdf_lo)
     frac = (u - cdf_lo) / denom
