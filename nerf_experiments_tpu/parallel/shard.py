@@ -39,6 +39,44 @@ def pjit_train_step(train_step_fn: Callable, mesh, donate: bool = True):
     return jax.jit(stepped, donate_argnums=(0,) if donate else ())
 
 
+def sharded_render(forward_fn: Callable, mesh, chunk_pad: int = 0):
+    """Whole-image rendering fanned across the mesh (SURVEY.md §5.8: eval
+    fans image rays across chips; pixels gathered back).
+
+    forward_fn(params, origs, dirs, pixel_width) -> rgb (N, 3). Returns
+    render(params, origs, dirs, pixel_width) that shards the ray axis over
+    "data", runs the forward SPMD, and returns a fully-replicated result
+    (XLA inserts the all-gather). Ray count is padded to the data-axis size.
+    """
+    from nerf_experiments_tpu.parallel.mesh import batch_sharding, replicated
+
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    jitted = jax.jit(
+        lambda params, o, d, pw: forward_fn(
+            params,
+            jax.lax.with_sharding_constraint(o, b_sh),
+            jax.lax.with_sharding_constraint(d, b_sh),
+            jax.lax.with_sharding_constraint(pw, b_sh),
+        ),
+        out_shardings=r_sh,
+    )
+
+    def render(params, origs, dirs, pixel_width):
+        n = origs.shape[0]
+        pad = (-n) % mesh.shape[DATA_AXIS]
+        if pad:
+            zpad = lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+            origs, dirs, pixel_width = zpad(origs), zpad(dirs), zpad(pixel_width)
+        out = jitted(params, origs, dirs, pixel_width)
+        return out[:n] if pad else out
+
+    return render
+
+
 def shard_map_train_step(loss_fn: Callable, tx: optax.GradientTransformation, mesh,
                          n_scalar_args: int):
     """Full train step with explicit collectives.

@@ -128,3 +128,30 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             np.asarray(rgb_sharded), np.asarray(rgb_single), atol=1e-5
         )
+
+
+class TestShardedRender:
+    def test_matches_single_device_render(self):
+        cfg = _cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        m = mesh_lib.make_mesh()
+
+        def fwd(params, o, d, pw):
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, o, d, pw,
+                jnp.asarray(4.0), jnp.asarray(2.0), stratified=False,
+            )
+            return rgb
+
+        render = shard_lib.sharded_render(fwd, m)
+        # deliberately NOT divisible by 8 to exercise the padding path
+        b = _batch(jax.random.PRNGKey(1), b=100)
+        out = render(state.params, b["origs_raw"], b["dirs_raw"], b["pixel_width"])
+        ref = jax.jit(fwd)(state.params, b["origs_raw"], b["dirs_raw"], b["pixel_width"])
+        assert out.shape == (100, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_16_virtual_devices_unsupported_gracefully(self):
+        # make_mesh must reject mismatched device counts loudly
+        with pytest.raises(AssertionError):
+            mesh_lib.make_mesh(n_data=16, n_model=1, devices=jax.devices()[:8])
