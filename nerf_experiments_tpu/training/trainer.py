@@ -88,7 +88,10 @@ class Trainer:
 
     def fit(self, state) -> Any:
         cfg = self.cfg
-        key = jax.random.PRNGKey(cfg.seed)
+        # per-step keys are fold_in(base, step) — a pure function of the step
+        # index, so a save/restore at any step reproduces the uninterrupted
+        # trajectory bit-for-bit (sequential key splitting would desync)
+        base_key = jax.random.PRNGKey(cfg.seed)
         total_steps = (
             cfg.max_steps
             if cfg.max_steps is not None
@@ -102,7 +105,7 @@ class Trainer:
         train_arrays = self.train_store.arrays()
         step = int(state.step)
         while step < total_steps:
-            key, k_step = jax.random.split(key)
+            k_step = jax.random.fold_in(base_key, step)
             epoch_frac = self.epoch_fraction(step)
             scalars = self.scalar_fn(step, epoch_frac)
             state, metrics = self._fused_step(state, train_arrays, k_step, *scalars)
@@ -129,7 +132,7 @@ class Trainer:
 
             if self.val_fn is not None and self.val_store is not None and epoch_frac >= next_val:
                 next_val += cfg.val_every_n_epochs
-                self._run_validation(state, step, key)
+                self._run_validation(state, step, jax.random.fold_in(base_key, -step))
 
             if epoch_frac >= next_ckpt and self.checkpoint_manager is not None:
                 next_ckpt += cfg.checkpoint_every_n_epochs

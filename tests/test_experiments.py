@@ -224,3 +224,42 @@ class TestSamplingAblation:
         assert all(r["final_psnr"] is not None and np.isfinite(r["final_psnr"])
                    for r in results)
         assert os.path.exists(tmp_path / "grid" / "summary.json")
+
+
+class TestExactResume:
+    def test_resume_reproduces_uninterrupted_trajectory(self, scene_dir, tmp_path):
+        """fold_in(step) keys: save at step 15, restore, continue to 30 ==
+        uninterrupted 30-step run, bit-for-bit."""
+        import jax
+        from nerf_experiments_tpu.experiments import run_barf
+        from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+        def args_for(out, steps):
+            return [
+                "--scene_path", scene_dir, "--image_size", "24",
+                "--batch_size", "64", "--max_steps", str(steps),
+                "--samples_per_ray", "8",
+                "--hidden_dim", "16", "--n_hidden", "1",
+                "--camera_origin_noise_sigma", "0.0",
+                "--camera_rotation_noise_sigma", "0.0",
+                "--no-optimize_camera",
+                "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+                "--checkpoint_every_n_epochs", "0",
+                "--out_dir", out,
+            ]
+
+        # uninterrupted
+        straight = run_barf.main(args_for(str(tmp_path / "a"), 30))
+
+        # interrupted at 15
+        exp = run_barf.build(run_barf.parse_args(args_for(str(tmp_path / "b"), 15)))
+        mid = exp.trainer.fit(exp.state)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(15, mid)
+        exp2 = run_barf.build(run_barf.parse_args(args_for(str(tmp_path / "b2"), 30)))
+        restored = mgr.restore(exp2.state)
+        resumed = exp2.trainer.fit(restored)
+
+        for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
