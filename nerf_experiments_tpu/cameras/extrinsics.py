@@ -17,7 +17,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from nerf_experiments_tpu.models.common import ParamGroup
 from nerf_experiments_tpu.ops.lie import so3_exp
 from nerf_experiments_tpu.utils.magic import MAGIC_NUMBER_THE_SECOND
 

@@ -15,7 +15,7 @@ above the max sigma the most-blurred level is used. Output packs
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

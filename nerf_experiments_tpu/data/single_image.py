@@ -7,7 +7,7 @@ pixel coords normalized by width/height to [0,1), seeded pixel shuffle,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,8 +18,6 @@ mirroring `PositionalEncoding.forward` (`positional_encodings.py:13`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 _TWO_PI = 2.0 * jnp.pi

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_experiments_tpu.cameras import calibration
-from nerf_experiments_tpu.data import blender
 from nerf_experiments_tpu.experiments import common, run_barf
 from nerf_experiments_tpu.ops.metrics import psnr
 from nerf_experiments_tpu.systems import barf as barf_sys

@@ -15,7 +15,7 @@ Parity with `test-camera-similarity/` (SURVEY.md §2.3 #32):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

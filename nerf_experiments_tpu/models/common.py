@@ -12,8 +12,6 @@ weight_decay) and the optimizer builds one schedule per group.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -29,7 +29,7 @@ lives).
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

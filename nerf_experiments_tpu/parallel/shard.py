@@ -14,14 +14,13 @@ step when the global batch is identical (tested in tests/test_parallel.py).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from nerf_experiments_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+from nerf_experiments_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 from nerf_experiments_tpu.training import optim as optim_lib
 
 

@@ -35,7 +35,6 @@ from nerf_experiments_tpu.models.common import ParamGroup
 from nerf_experiments_tpu.ops import render, sampling
 from nerf_experiments_tpu.ops.metrics import psnr
 from nerf_experiments_tpu.training import optim
-from nerf_experiments_tpu.training.schedules import barf_sigma_alpha
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,7 @@ state untouched by garbage), branchless and jit-safe.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

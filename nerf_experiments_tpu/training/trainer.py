@@ -19,7 +19,6 @@ import time
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nerf_experiments_tpu.data import sampler as sampler_lib
@@ -90,8 +89,10 @@ class Trainer:
         cfg = self.cfg
         # per-step keys are fold_in(base, step) — a pure function of the step
         # index, so a save/restore at any step reproduces the uninterrupted
-        # trajectory bit-for-bit (sequential key splitting would desync)
-        base_key = jax.random.PRNGKey(cfg.seed)
+        # trajectory bit-for-bit (sequential key splitting would desync).
+        # Validation gets its own base stream (fold_in requires non-negative
+        # ints — folding -step overflows uint32).
+        base_key, val_base_key = jax.random.split(jax.random.PRNGKey(cfg.seed))
         total_steps = (
             cfg.max_steps
             if cfg.max_steps is not None
@@ -132,7 +133,7 @@ class Trainer:
 
             if self.val_fn is not None and self.val_store is not None and epoch_frac >= next_val:
                 next_val += cfg.val_every_n_epochs
-                self._run_validation(state, step, jax.random.fold_in(base_key, -step))
+                self._run_validation(state, step, jax.random.fold_in(val_base_key, step))
 
             if epoch_frac >= next_ckpt and self.checkpoint_manager is not None:
                 next_ckpt += cfg.checkpoint_every_n_epochs

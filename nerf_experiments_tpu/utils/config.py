@@ -11,7 +11,7 @@ also directly constructible for programmatic sweeps:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
