@@ -78,9 +78,14 @@ def main(argv=None):
     raw = jnp.asarray(dm.dataset_train.camera_origins)
     noisy = jnp.asarray(dm.dataset_train.camera_origins_noisy)
 
+    # gauge depends only on params — computed ONCE outside the render jit
+    # (also avoids a libtpu regalloc RET_CHECK when SVD + the renderer share
+    # one program)
+    gauge = jax.jit(lambda p: barf_sys.val_gauge(p, raw, noisy))(state.params)
+    gauge = tuple(jax.device_put(g) for g in gauge)
+
     @jax.jit
-    def render_chunk(params, origs, dirs, pw):
-        gauge = barf_sys.val_gauge(params, raw, noisy)
+    def render_chunk(params, gauge, origs, dirs, pw):
         o, d = calibration.validation_transform_rays(origs, dirs, gauge)
         enc = exp.cfg.radiance.position_encoder if hasattr(exp.cfg.radiance, "position_encoder") else None
         a_pos = jnp.asarray(float(getattr(enc, "levels", 0)))
@@ -102,7 +107,7 @@ def main(argv=None):
         for lo in range(0, hw, args.chunk):
             hi = min(lo + args.chunk, hw)
             out[lo:hi] = np.asarray(render_chunk(
-                state.params, jnp.asarray(origs[lo:hi]), jnp.asarray(dirs[lo:hi]),
+                state.params, gauge, jnp.asarray(origs[lo:hi]), jnp.asarray(dirs[lo:hi]),
                 jnp.full((hi - lo, 1), dataset.pixel_width),
             ))
         target = dataset.images[i, :, :, -1, :].reshape(hw, 3)

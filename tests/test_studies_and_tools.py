@@ -185,3 +185,40 @@ class TestQuantizedSchedule:
         assert float(s(100)) < float(s(99))
         # endpoint matches after all periods
         assert abs(float(s(1000)) - 1e-4) < 1e-7
+
+
+class TestLoggers:
+    def test_taper_schedule_fires_and_spaces_out(self):
+        from nerf_experiments_tpu.training.loggers import TaperSchedule
+
+        s = TaperSchedule(logging_start=0.002, delay_start=1 / 24, delay_end=1.0,
+                          delay_taper=5.0)
+        # below logging_start: never fires
+        assert not s.should_fire(0.001)
+        # first fire at the initial delay point
+        fires = [ef for ef in np.linspace(0.01, 30, 3000) if s.should_fire(float(ef))]
+        assert len(fires) > 3
+        gaps = np.diff(fires)
+        # delays grow toward delay_end (tanh taper)
+        assert gaps[-1] > gaps[0]
+        assert gaps[-1] <= 1.1
+
+    def test_metric_logger_jsonl(self, tmp_path):
+        from nerf_experiments_tpu.training.loggers import MetricLogger
+
+        lg = MetricLogger(str(tmp_path))
+        lg.log({"loss": jnp.asarray(0.5), "skipme": "notanumber"}, step=3)
+        lg.log({"loss": 0.25}, step=4)
+        rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        assert rows[0] == {"step": 3, "loss": 0.5}
+        assert rows[1]["loss"] == 0.25
+        lg.close()
+
+    def test_metric_logger_points(self, tmp_path):
+        from nerf_experiments_tpu.training.loggers import MetricLogger
+
+        lg = MetricLogger(str(tmp_path))
+        pts = np.zeros((5, 3)); cols = np.zeros((5, 3), np.uint8)
+        lg.log_points("cams", pts, cols, step=7)
+        files = os.listdir(tmp_path / "points")
+        assert files and files[0].startswith("cams")
