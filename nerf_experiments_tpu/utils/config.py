@@ -103,6 +103,23 @@ PRESETS: Dict[str, ExperimentPreset] = {
             description="3-D hash-grid NeRF (3d-ingp)",
         ),
         ExperimentPreset(
+            name="naive_nerf_lego_400",
+            module="run_naive_to_vanilla",
+            argv=("--image_size", "400", "--batch_size", "1024",
+                  "--n_segments", "4", "--no-delayed_direction",
+                  "--delayed_density", "--bf16"),
+            description="'Naive' architecture end of the interpolation "
+            "(naive-to-vanilla/relics/model_naive.py semantics via flags)",
+        ),
+        ExperimentPreset(
+            name="original_vanilla_lego_400",
+            module="run_naive_to_vanilla",
+            argv=("--image_size", "400", "--batch_size", "1024",
+                  "--n_segments", "2", "--bf16"),
+            description="Faithful vanilla NeRF "
+            "(naive-to-vanilla/relics/model_original.py semantics via flags)",
+        ),
+        ExperimentPreset(
             name="siren_lego_400",
             module="run_nerf_siren",
             argv=("--image_size", "400", "--batch_size", "1024", "--bf16"),
