@@ -184,6 +184,41 @@ def build(args):
             "rgb": rad_rgb,
         }
 
+    # full-image reconstruction logging (`garf/image_logger.py` parity):
+    # train images through the learned extrinsics, val through the gauge
+    @jax.jit
+    def render_garf_train(params, origs, dirs, img_idx):
+        from nerf_experiments_tpu.cameras import calibration
+
+        o, d = calibration.training_transform_rays(
+            params["camera"], jnp.full((origs.shape[0],), img_idx, jnp.int32),
+            origs, dirs,
+        )
+        rgb, _, _, _ = garf_system.forward(params, cfg, None, o, d, stratified=False)
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    @jax.jit
+    def render_garf_val(params, origs, dirs):
+        from nerf_experiments_tpu.cameras import calibration
+
+        gauge = calibration.post_transform_params(params["camera"], raw, noisy)
+        o, d = calibration.validation_transform_rays(origs, dirs, gauge)
+        rgb, _, _, _ = garf_system.forward(params, cfg, None, o, d, stratified=False)
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    def garf_render_fn(params, origs, dirs, pw, train_space, img_idx):
+        if train_space:
+            return render_garf_train(params, jnp.asarray(origs), jnp.asarray(dirs), img_idx)
+        return render_garf_val(params, jnp.asarray(origs), jnp.asarray(dirs))
+
+    img_logger = loggers.ImageReconstructionLogger(
+        render_fn=garf_render_fn,
+        metric_logger=metric_logger,
+        train_image_names=["r_1"],
+        validation_image_names=["r_2"],
+        schedule=loggers.TaperSchedule(0.002, 1 / 24, 1.0, 5.0),
+    )
+
     ray_logger = loggers.RayDensityLogger(
         density_fn=lambda params, pos, dirs: density_profiles(
             params, jnp.asarray(pos), jnp.asarray(dirs)
@@ -196,7 +231,10 @@ def build(args):
     callbacks = [
         lambda trainer, state, step, ef: ray_logger.maybe_log(
             ef, step, state.params, dm.dataset_train
-        )
+        ),
+        lambda trainer, state, step, ef: img_logger.maybe_log(
+            ef, step, state.params, dm
+        ),
     ]
 
     trainer = Trainer(

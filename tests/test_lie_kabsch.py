@@ -117,3 +117,59 @@ class TestMetrics:
         e1 = float(pose_error(raw, pred2))
         assert abs(e0 - e1) < 1e-3
         assert e0 < 0.1
+
+
+class TestRayConventions:
+    """Direct tests of ops/rays.py (conventions from barf/dataset.py)."""
+
+    def test_center_pixel_looks_down_minus_z(self):
+        from nerf_experiments_tpu.ops import rays as R
+
+        H = W = 11  # odd => exact center pixel
+        mesh = np.asarray(R.directions_meshgrid(H, W, focal=20.0))
+        center = mesh[(H // 2) * W + W // 2]
+        np.testing.assert_allclose(center, [0, 0, -1], atol=1e-6)
+        # row-major: pixel (0, 0) is top-left => +y (flipped), -x
+        tl = mesh[0]
+        assert tl[0] < 0 and tl[1] > 0
+        np.testing.assert_allclose(np.linalg.norm(mesh, axis=-1), 1.0, atol=1e-6)
+
+    def test_space_transform_auto_params(self):
+        from nerf_experiments_tpu.ops import rays as R
+
+        pos = jnp.array([[0.0, 0, 0], [2.0, 0, 0], [0, 1.0, 0]])
+        scale, translate = R.space_transform_params(pos)
+        # 3 * max pairwise distance; mean translate
+        np.testing.assert_allclose(float(scale), 3 * np.sqrt(5), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(translate), pos.mean(axis=0), atol=1e-6)
+
+    def test_transform_c2w_only_translation_column(self):
+        from nerf_experiments_tpu.ops import rays as R
+
+        c2w = jnp.eye(4)[None].at[0, :3, 3].set(jnp.array([2.0, 4.0, 6.0]))
+        out = R.transform_c2w(c2w, jnp.asarray(2.0), jnp.array([1.0, 1.0, 1.0]))
+        np.testing.assert_allclose(np.asarray(out[0, :3, 3]), [0.5, 1.5, 2.5], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[0, :3, :3]), np.eye(3), atol=1e-7)
+
+    def test_pose_noise_conventions(self):
+        # translation only moves origins; rotation only turns directions
+        from nerf_experiments_tpu.ops import rays as R
+
+        key = jax.random.PRNGKey(0)
+        cam_o = jax.random.normal(key, (4, 3))
+        cam_d = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+        ray_o = jnp.repeat(cam_o[:, None], 5, axis=1)
+        ray_d = jnp.repeat(cam_d[:, None], 5, axis=1)
+        co, cd, ro, rd = R.apply_pose_noise(
+            jax.random.PRNGKey(2), cam_o, cam_d, ray_o, ray_d,
+            rotation_noise_sigma=0.2, translation_noise_sigma=0.1,
+        )
+        # origins shifted by a per-camera constant
+        shift = np.asarray(ro - ray_o)
+        np.testing.assert_allclose(shift, shift[:, :1], atol=1e-6)
+        # directions keep their norms (pure rotation)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(rd), axis=-1),
+                                   np.linalg.norm(np.asarray(ray_d), axis=-1), atol=1e-5)
+        # camera-level and ray-level noises agree
+        np.testing.assert_allclose(np.asarray(co), np.asarray(ro[:, 0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cd), np.asarray(rd[:, 0]), atol=1e-6)
