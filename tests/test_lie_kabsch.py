@@ -166,7 +166,9 @@ class TestRayConventions:
         )
         # origins shifted by a per-camera constant
         shift = np.asarray(ro - ray_o)
-        np.testing.assert_allclose(shift, shift[:, :1], atol=1e-6)
+        np.testing.assert_allclose(
+            shift, np.broadcast_to(shift[:, :1], shift.shape), atol=1e-6
+        )
         # directions keep their norms (pure rotation)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(rd), axis=-1),
                                    np.linalg.norm(np.asarray(ray_d), axis=-1), atol=1e-5)
