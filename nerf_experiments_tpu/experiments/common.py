@@ -208,5 +208,6 @@ def build_barf_experiment(
         pose_error_fn=pose_fn,
         checkpoint_manager=ckpt_mgr,
         callbacks=callbacks,
+        lr_fn=barf_sys.lr_fn(cfg, state.params),
     )
     return BarfExperiment(cfg=cfg, state=state, trainer=trainer, dm=dm, train_store=train_store)

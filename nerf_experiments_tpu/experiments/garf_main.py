@@ -247,6 +247,7 @@ def build(args):
         val_fn=val_step,
         pose_error_fn=pose_fn,
         callbacks=callbacks,
+        lr_fn=garf_system.lr_fn(cfg, state.params),
     )
     return cfg, state, trainer
 

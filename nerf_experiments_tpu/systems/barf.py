@@ -191,7 +191,8 @@ def init(key: jax.Array, cfg: BarfConfig) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
 
 
-def make_optimizer(cfg: BarfConfig, params: Dict) -> optax.GradientTransformation:
+def make_groups(cfg: BarfConfig, params: Dict):
+    """(groups, labels) shared by the optimizer and the LR monitor rows."""
     groups = {
         "radiance": _model_def(cfg.radiance).param_group,
         "camera": cfg.camera_group,
@@ -206,7 +207,19 @@ def make_optimizer(cfg: BarfConfig, params: Dict) -> optax.GradientTransformatio
         labels["proposal"] = optim.constant_labels(params["proposal"], "proposal")
     if not cfg.optimize_camera:
         groups["camera"] = ParamGroup(0.0, 0.0, 0)
+    return groups, labels
+
+
+def make_optimizer(cfg: BarfConfig, params: Dict) -> optax.GradientTransformation:
+    groups, labels = make_groups(cfg, params)
     return optim.multi_group_adam(groups, labels, eps=cfg.adam_eps, adam_b2=cfg.adam_b2)
+
+
+def lr_fn(cfg: BarfConfig, params: Dict):
+    """(step) -> {"lr_radiance": ..., "lr_camera": ...} rows
+    (LearningRateMonitor parity, `barf/run_barf.py:139-141`)."""
+    groups, _ = make_groups(cfg, params)
+    return optim.lr_row_fn(groups)
 
 
 def _eval_model(model_def, params, origs, dirs, t_start, t_end, pixel_width,

@@ -83,8 +83,8 @@ def init(key: jax.Array, cfg: GarfSystemConfig) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
 
 
-def make_optimizer(cfg: GarfSystemConfig, params: Dict) -> optax.GradientTransformation:
-    """Per-subnet groups with linear/activation LR split (garf's 5 groups)."""
+def make_groups(cfg: GarfSystemConfig, params: Dict):
+    """(groups, labels, schedule_kind) shared by optimizer and LR rows."""
     groups = {
         "proposal_lin": cfg.prop_cfg.linear_group,
         "proposal_act": cfg.prop_cfg.activation_group,
@@ -101,10 +101,23 @@ def make_optimizer(cfg: GarfSystemConfig, params: Dict) -> optax.GradientTransfo
         "quantized_exponential" if cfg.scheduler_steps_per_period > 1
         else "garf_exponential"
     )
+    return groups, labels, kind
+
+
+def make_optimizer(cfg: GarfSystemConfig, params: Dict) -> optax.GradientTransformation:
+    """Per-subnet Adams with linear/activation LR split (garf's 5 groups)."""
+    groups, labels, kind = make_groups(cfg, params)
     return optim.multi_group_adam(
         groups, labels, schedule_kind=kind,
         scheduler_steps_per_period=cfg.scheduler_steps_per_period,
     )
+
+
+def lr_fn(cfg: GarfSystemConfig, params: Dict):
+    """(step) -> {"lr_<group>": float} rows (per-subnet ExponentialLR
+    monitor parity, `garf/model_garf.py:365-428`)."""
+    groups, _, kind = make_groups(cfg, params)
+    return optim.lr_row_fn(groups, kind, cfg.scheduler_steps_per_period)
 
 
 def forward(

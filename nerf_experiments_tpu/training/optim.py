@@ -48,6 +48,28 @@ def multi_group_adam(
     (unclamped per-step), or "quantized_exponential" (gaborf's epoch-fraction
     staircase with `scheduler_steps_per_period` steps per LR update).
     """
+    scheds = group_lr_schedules(groups, schedule_kind, scheduler_steps_per_period)
+    transforms = {}
+    for label, g in groups.items():
+        sched = scheds[label]
+        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=eps)]
+        if g.weight_decay:
+            chain.append(optax.add_decayed_weights(g.weight_decay))
+        chain.append(optax.scale_by_schedule(lambda s, _f=sched: -_f(s)))
+        transforms[label] = optax.chain(*chain)
+    return optax.multi_transform(transforms, labels)
+
+
+def group_lr_schedules(
+    groups: Dict[str, ParamGroup],
+    schedule_kind: str = "le_nice",
+    scheduler_steps_per_period: int = 1,
+):
+    """label -> closed-form LR schedule, exactly as the optimizer applies it.
+
+    Also serves the LearningRateMonitor role (`barf/run_barf.py:139-141`):
+    because schedules are pure functions of the step, the trainer can emit
+    `lr_<group>` metric rows without touching optimizer state."""
     if schedule_kind == "le_nice":
         schedule_fn = le_nice
     elif schedule_kind == "garf_exponential":
@@ -58,15 +80,24 @@ def multi_group_adam(
         )
     else:
         raise ValueError(f"unknown schedule_kind {schedule_kind!r}")
-    transforms = {}
-    for label, g in groups.items():
-        sched = schedule_fn(g.learning_rate_start, g.learning_rate_stop, g.learning_rate_decay_end)
-        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=eps)]
-        if g.weight_decay:
-            chain.append(optax.add_decayed_weights(g.weight_decay))
-        chain.append(optax.scale_by_schedule(lambda s, _f=sched: -_f(s)))
-        transforms[label] = optax.chain(*chain)
-    return optax.multi_transform(transforms, labels)
+    return {
+        label: schedule_fn(
+            g.learning_rate_start, g.learning_rate_stop, g.learning_rate_decay_end
+        )
+        for label, g in groups.items()
+    }
+
+
+def lr_row_fn(
+    groups: Dict[str, ParamGroup],
+    schedule_kind: str = "le_nice",
+    scheduler_steps_per_period: int = 1,
+):
+    """(step) -> {"lr_<group>": float} for the trainer's metric rows."""
+    scheds = group_lr_schedules(groups, schedule_kind, scheduler_steps_per_period)
+    return lambda step: {
+        f"lr_{label}": float(s(step)) for label, s in scheds.items()
+    }
 
 
 def guard_nonfinite(grads):

@@ -53,6 +53,7 @@ class Trainer:
         pose_error_fn: Optional[Callable] = None,  # (params) -> scalar
         checkpoint_manager=None,
         callbacks: Optional[List[Callable]] = None,  # f(trainer, state, step, epoch_frac)
+        lr_fn: Optional[Callable] = None,  # (step) -> {"lr_<group>": float}
     ):
         self.cfg = cfg
         self.train_store = train_store
@@ -64,6 +65,14 @@ class Trainer:
         self.metric_logger = metric_logger
         self.checkpoint_manager = checkpoint_manager
         self.callbacks = callbacks or []
+        self.lr_fn = lr_fn
+        # non-finite post-mortem (the reference dumps offending tensors on
+        # sampler failure, `barf/model_interpolation.py:233-276`): on the
+        # FIRST step whose gradients were non-finite, the exact batch is
+        # regenerated from its fold_in key and dumped with the schedule
+        # scalars for offline analysis.
+        self._postmortem_done = False
+        self._pending_finite: List = []  # (step, key, scalars, grads_finite)
         self.steps_per_epoch = max(1, train_store.n_rays // cfg.batch_size)
 
         # ONE fused device program per step: index sampling + batch gather +
@@ -81,6 +90,13 @@ class Trainer:
             return self.step_fn(state, batch, k_step, *scalars)
 
         self._fused_step = jax.jit(fused, donate_argnums=(0,))
+
+        def regen_batch(arrays, key):
+            k_batch, _ = jax.random.split(key)
+            idx = jax.random.randint(k_batch, (batch_size,), 0, n_rays)
+            return sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+
+        self._regen_batch = jax.jit(regen_batch)
 
     def epoch_fraction(self, step: int) -> float:
         return step / self.steps_per_epoch
@@ -112,12 +128,19 @@ class Trainer:
             state, metrics = self._fused_step(state, train_arrays, k_step, *scalars)
             step += 1
             rays_done += cfg.batch_size
+            if not self._postmortem_done and "grads_finite" in metrics:
+                self._pending_finite.append(
+                    (step - 1, k_step, scalars, metrics["grads_finite"])
+                )
 
             if step % cfg.log_every_n_steps == 0 or step == total_steps:
                 row = {k: v for k, v in metrics.items()}
                 row["epoch_fraction"] = epoch_frac
                 # forcing float() here is also the device sync point
                 row = {k: float(np.asarray(v)) for k, v in row.items()}
+                if self.lr_fn is not None:
+                    row.update(self.lr_fn(step - 1))
+                self._check_postmortem(train_arrays)
                 dt = time.perf_counter() - t_start
                 row["train_rays_per_sec"] = rays_done / max(dt, 1e-9)
                 if self.pose_error_fn is not None and (
@@ -142,6 +165,35 @@ class Trainer:
         if self.checkpoint_manager is not None:
             self.checkpoint_manager.save(step, state)
         return state
+
+    def _check_postmortem(self, train_arrays) -> None:
+        """Scan the buffered grads_finite flags (one stacked transfer per log
+        interval, not one per step); dump the first offending batch."""
+        if self._postmortem_done or not self._pending_finite:
+            self._pending_finite.clear()
+            return
+        import jax.numpy as jnp
+
+        flags = np.asarray(jnp.stack([p[3] for p in self._pending_finite]))
+        for (bad_step, key, scalars, _), ok in zip(self._pending_finite, flags):
+            if not ok:
+                self._dump_postmortem(train_arrays, bad_step, key, scalars)
+                self._postmortem_done = True
+                break
+        self._pending_finite.clear()
+
+    def _dump_postmortem(self, train_arrays, bad_step: int, key, scalars) -> None:
+        import os
+
+        out_dir = os.path.dirname(self.metric_logger.path)
+        path = os.path.join(out_dir, f"postmortem_{bad_step}.npz")
+        batch = self._regen_batch(train_arrays, key)
+        payload = {f"batch_{k}": np.asarray(v) for k, v in batch.items()}
+        payload["scalars"] = np.asarray([float(np.asarray(s)) for s in scalars])
+        payload["step"] = np.asarray(bad_step)
+        payload["key"] = np.asarray(key)
+        np.savez(path, **payload)
+        self.metric_logger.log({"postmortem_step": float(bad_step)}, bad_step)
 
     def _run_validation(self, state, step: int, key) -> None:
         if not hasattr(self, "_fused_val"):

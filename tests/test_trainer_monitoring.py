@@ -1,0 +1,130 @@
+"""Trainer monitoring: per-step LR rows (LearningRateMonitor parity,
+`barf/run_barf.py:139-141`) and the non-finite post-mortem dump (the
+reference's dump-offending-tensors-on-failure idea,
+`barf/model_interpolation.py:233-276`)."""
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_experiments_tpu.data.sampler import RayStore
+from nerf_experiments_tpu.models.common import ParamGroup
+from nerf_experiments_tpu.training import optim
+from nerf_experiments_tpu.training.loggers import MetricLogger
+from nerf_experiments_tpu.training.trainer import Trainer, TrainerConfig
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class TinyState:
+    params: dict
+    step: jnp.ndarray
+
+
+def _store(n_rays=64, n_images=2):
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 6)
+    return RayStore(
+        origins_raw=jax.random.normal(ks[0], (n_rays, 3)),
+        origins_noisy=jax.random.normal(ks[1], (n_rays, 3)),
+        dirs_raw=jax.random.normal(ks[2], (n_rays, 3)),
+        dirs_noisy=jax.random.normal(ks[3], (n_rays, 3)),
+        colors=jax.random.uniform(ks[4], (n_rays, 2, 3)),
+        img_idx=jnp.zeros((n_rays,), jnp.int32),
+        pixel_width=0.01,
+        gaussian_blur_sigmas=(0.0, 0.0),
+        camera_origins_raw=jnp.zeros((n_images, 3)),
+        camera_origins_noisy=jnp.zeros((n_images, 3)),
+    )
+
+
+def _make_trainer(tmp_path, step_fn, max_steps=10, lr_fn=None, batch_size=8):
+    cfg = TrainerConfig(
+        max_steps=max_steps, batch_size=batch_size, log_every_n_steps=5,
+        val_every_n_epochs=1e9,
+    )
+    return Trainer(
+        cfg=cfg,
+        train_store=_store(),
+        step_fn=step_fn,
+        scalar_fn=lambda step, ef: (),
+        metric_logger=MetricLogger(str(tmp_path)),
+        lr_fn=lr_fn,
+    )
+
+
+def _rows(tmp_path):
+    return [json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+
+
+def test_lr_rows_logged(tmp_path):
+    groups = {
+        "radiance": ParamGroup(5e-4, 1e-5, 100),
+        "camera": ParamGroup(1e-3, 1e-5, 100),
+    }
+    lr_fn = optim.lr_row_fn(groups)
+
+    def step_fn(state, batch, key):
+        loss = jnp.mean(batch["colors"])
+        return TinyState(params=state.params, step=state.step + 1), {"loss": loss}
+
+    tr = _make_trainer(tmp_path, step_fn, lr_fn=lr_fn)
+    tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
+    rows = _rows(tmp_path)
+    lr_rows = [r for r in rows if "lr_radiance" in r]
+    assert lr_rows, "no lr_ rows logged"
+    assert all("lr_camera" in r for r in lr_rows)
+    # decaying, and matching the closed-form schedule at the logged step
+    for r in lr_rows:
+        s = r["step"] - 1
+        expected = 5e-4 * np.exp((np.log(1e-5) - np.log(5e-4)) / 100 * min(s, 100))
+        assert r["lr_radiance"] == pytest.approx(expected, rel=1e-5)
+    assert lr_rows[-1]["lr_radiance"] < lr_rows[0]["lr_radiance"]
+
+
+def test_postmortem_dump_on_first_nonfinite(tmp_path):
+    bad_step = 7  # not a log step — the buffered scan must still catch it
+
+    def step_fn(state, batch, key):
+        # inject a NaN gradient signal at exactly one step
+        is_bad = state.step == bad_step
+        loss = jnp.where(is_bad, jnp.nan, jnp.mean(batch["colors"]))
+        return (
+            TinyState(params=state.params, step=state.step + 1),
+            {"loss": loss, "grads_finite": jnp.logical_not(is_bad)},
+        )
+
+    tr = _make_trainer(tmp_path, step_fn, max_steps=20)
+    tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
+
+    dumps = glob.glob(os.path.join(str(tmp_path), "postmortem_*.npz"))
+    assert len(dumps) == 1, f"expected exactly one dump, got {dumps}"
+    assert dumps[0].endswith(f"postmortem_{bad_step}.npz")
+    z = np.load(dumps[0])
+    assert int(z["step"]) == bad_step
+    # the dumped batch is the exact batch of the offending step: regenerate
+    # from the same fold_in key and compare
+    key = jax.random.fold_in(
+        jax.random.split(jax.random.PRNGKey(tr.cfg.seed))[0], bad_step
+    )
+    expected = tr._regen_batch(tr.train_store.arrays(), key)
+    np.testing.assert_allclose(z["batch_colors"], np.asarray(expected["colors"]))
+    rows = _rows(tmp_path)
+    assert any(r.get("postmortem_step") == float(bad_step) for r in rows)
+
+
+def test_no_postmortem_when_finite(tmp_path):
+    def step_fn(state, batch, key):
+        return (
+            TinyState(params=state.params, step=state.step + 1),
+            {"loss": jnp.mean(batch["colors"]), "grads_finite": jnp.asarray(True)},
+        )
+
+    tr = _make_trainer(tmp_path, step_fn, max_steps=10)
+    tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
+    assert not glob.glob(os.path.join(str(tmp_path), "postmortem_*.npz"))
