@@ -47,6 +47,10 @@ def blur_sigmas_from_start(start_blur_sigma: float, n_blur_sigmas: int) -> Tuple
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene_path", type=str, default="synthetic",
                    help="Blender dataset dir, or 'synthetic' for the generated scene")
+    p.add_argument("--mesh", type=str, default="",
+                   help="device mesh for SPMD training: '' (single device), "
+                        "'auto' (all devices data-parallel), or 'DxM' "
+                        "(D-way data x M-way model parallel), e.g. '4x2'")
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--max_epochs", type=int, default=100)
@@ -55,6 +59,20 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=134534)
     p.add_argument("--wandb", action="store_true", default=False)
     p.add_argument("--bf16", action="store_true", default=False)
+
+
+def mesh_from_flag(mesh_flag: str):
+    """'' -> None; 'auto' -> all devices on the data axis; 'DxM' -> explicit
+    (data x model) mesh. The returned jax.sharding.Mesh drives pjit sharding
+    of the train step and ray-parallel rendering (SURVEY.md §5.8)."""
+    if not mesh_flag:
+        return None
+    from nerf_experiments_tpu.parallel import mesh as mesh_lib
+
+    if mesh_flag == "auto":
+        return mesh_lib.make_mesh()
+    n_data, n_model = (int(v) for v in mesh_flag.lower().split("x"))
+    return mesh_lib.make_mesh(n_data, n_model)
 
 
 @dataclasses.dataclass
@@ -79,6 +97,7 @@ def build_barf_experiment(
     alpha_schedules=None,  # (pos_alpha_fn(epoch), dir_alpha_fn(epoch)) or None
     image_log_names: Tuple[Sequence[str], Sequence[str]] = ((), ()),
     checkpoint_keep: Optional[int] = None,
+    mesh=None,  # jax.sharding.Mesh => SPMD train step + sharded rendering
 ) -> BarfExperiment:
     dm.setup("fit")
     train_store = sampler.make_ray_store(dm.dataset_train)
@@ -87,7 +106,20 @@ def build_barf_experiment(
     key = jax.random.PRNGKey(trainer_cfg.seed)
     state = barf_sys.init(key, cfg)
     tx = barf_sys.make_optimizer(cfg, state.params)
-    step_fn = barf_sys.make_train_step(cfg, tx, donate=True)
+    if mesh is not None:
+        from nerf_experiments_tpu.parallel import mesh as mesh_lib
+        from nerf_experiments_tpu.parallel import shard as shard_lib
+
+        # params (and matching Adam moments) on the mesh: replicated, or
+        # output-dim-sharded over the "model" axis when it is >1
+        state = state.replace(
+            params=mesh_lib.shard_params(state.params, mesh),
+            opt_state=mesh_lib.shard_params(state.opt_state, mesh),
+        )
+        unjitted = lambda s, b, k, *sc: barf_sys.train_step(s, cfg, tx, b, k, *sc)
+        step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
+    else:
+        step_fn = barf_sys.make_train_step(cfg, tx, donate=True)
 
     # NerfMLPConfig has encoders; generic ModelDefs (hash grids, SIREN) don't
     pos_enc = getattr(cfg.radiance, "position_encoder", None)

@@ -137,8 +137,20 @@ def build(args):
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
     tx = garf_system.make_optimizer(cfg, state.params)
-    step_fn_raw = garf_system.make_train_step(cfg, tx, donate=True)
-    step_fn = lambda state, batch, key: step_fn_raw(state, batch, key)
+    mesh = common.mesh_from_flag(args.mesh)
+    if mesh is not None:
+        from nerf_experiments_tpu.parallel import mesh as mesh_lib
+        from nerf_experiments_tpu.parallel import shard as shard_lib
+
+        state = state.replace(
+            params=mesh_lib.shard_params(state.params, mesh),
+            opt_state=mesh_lib.shard_params(state.opt_state, mesh),
+        )
+        unjitted = lambda s, b, k: garf_system.train_step(s, cfg, tx, b, k)
+        step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
+    else:
+        step_fn_raw = garf_system.make_train_step(cfg, tx, donate=True)
+        step_fn = lambda state, batch, key: step_fn_raw(state, batch, key)
 
     raw = train_store.camera_origins_raw
     noisy = train_store.camera_origins_noisy

@@ -128,6 +128,7 @@ def build(args) -> common.BarfExperiment:
         cfg, dm, trainer_cfg, args.out_dir,
         use_wandb=args.wandb, wandb_name=name,
         image_log_names=(["r_1"], ["r_2"]),
+        mesh=common.mesh_from_flag(args.mesh),
     )
 
 

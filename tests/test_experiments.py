@@ -178,6 +178,56 @@ class TestResumeAndRender:
         state2 = run_barf.main(base + ["--max_steps", "50", "--resume"])
         assert int(state2.step) == 50
 
+    def test_cli_trains_on_device_mesh(self, scene_dir, tmp_path):
+        """--mesh DxM trains end-to-end SPMD on the 8 virtual CPU devices
+        (VERDICT round-1 item 5: the mesh wired into a real entry point)."""
+        import jax
+
+        from nerf_experiments_tpu.experiments import run_barf
+
+        assert len(jax.devices()) >= 8
+        out = str(tmp_path / "mesh_run")
+        state = run_barf.main([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "40",
+            "--samples_per_ray", "16",
+            "--hidden_dim", "256", "--n_hidden", "1",
+            "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--checkpoint_every_n_epochs", "0",
+            "--mesh", "4x2",
+            "--out_dir", out,
+        ])
+        assert int(state.step) == 40
+        rows = _metrics(out)
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+        # the 256-wide hidden weights actually live model-sharded on the mesh
+        shardings = {
+            str(l.sharding.spec)
+            for l in jax.tree_util.tree_leaves(state.params["radiance"])
+            if hasattr(l, "sharding") and l.ndim == 2 and l.shape[-1] == 256
+        }
+        assert any("model" in s for s in shardings), shardings
+
+    def test_garf_cli_trains_on_mesh(self, scene_dir, tmp_path):
+        from nerf_experiments_tpu.experiments import garf_main
+
+        out = str(tmp_path / "garf_mesh")
+        args = garf_main.parse_args([
+            "--activation", "gauss",
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "30",
+            "--proposal_samples_per_ray", "8", "--radiance_samples_per_ray", "16",
+            "--mesh", "auto",
+            "--out_dir", out,
+        ])
+        cfg, state, trainer = garf_main.build(args)
+        state = trainer.fit(state)
+        assert int(state.step) == 30
+        rows = _metrics(out)
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+
     def test_render_views_reports_psnr(self, scene_dir, tmp_path):
         from nerf_experiments_tpu.experiments import render_views, run_barf
 
