@@ -27,26 +27,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+HOST_AXIS = "host"  # outer data-parallel axis riding DCN across slices
 
 
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence] = None,
+    n_hosts: int = 1,
 ) -> Mesh:
-    """Mesh over (data, model). Defaults to all devices on the data axis."""
+    """Mesh over (data, model), or (host, data, model) when n_hosts > 1.
+
+    The host axis is an OUTER batch axis: rays are sharded over
+    (host x data) jointly, so the gradient all-reduce decomposes into a
+    fast ICI reduce within each slice plus one DCN reduce across slices —
+    the standard multi-slice data-parallel layout. Model sharding stays
+    within a slice (ICI-only collectives on the hidden dims).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+        n_data = len(devices) // (n_model * n_hosts)
+    assert n_hosts * n_data * n_model == len(devices), (
+        f"mesh {n_hosts}x{n_data}x{n_model} != {len(devices)} devices"
     )
+    if n_hosts > 1:
+        return Mesh(
+            np.asarray(devices).reshape(n_hosts, n_data, n_model),
+            (HOST_AXIS, DATA_AXIS, MODEL_AXIS),
+        )
     return Mesh(np.asarray(devices).reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 
 
+def data_axes(mesh: Mesh):
+    """The batch-sharding axes: ("host", "data") on multi-slice meshes."""
+    if HOST_AXIS in mesh.axis_names:
+        return (HOST_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Ray batches: sharded over the data axis on their leading dim."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Ray batches: sharded over the (host x) data axes on their leading dim."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -63,8 +63,13 @@ def sharded_render(forward_fn: Callable, mesh, chunk_pad: int = 0):
     )
 
     def render(params, origs, dirs, pixel_width):
+        from nerf_experiments_tpu.parallel.mesh import data_axes
+
         n = origs.shape[0]
-        pad = (-n) % mesh.shape[DATA_AXIS]
+        n_batch_devices = 1
+        for ax in data_axes(mesh):
+            n_batch_devices *= mesh.shape[ax]
+        pad = (-n) % n_batch_devices
         if pad:
             zpad = lambda x: jnp.concatenate(
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0

@@ -155,3 +155,57 @@ class TestShardedRender:
         # make_mesh must reject mismatched device counts loudly
         with pytest.raises(AssertionError):
             mesh_lib.make_mesh(n_data=16, n_model=1, devices=jax.devices()[:8])
+
+
+class TestHostAxis:
+    """Multi-slice layout: an outer "host" axis rides DCN; rays shard over
+    (host x data) jointly (SURVEY.md §2.6 "multi-slice later")."""
+
+    def test_host_mesh_shapes_and_batch_sharding(self):
+        m = mesh_lib.make_mesh(n_data=2, n_model=2, n_hosts=2)
+        assert m.shape == {"host": 2, "data": 2, "model": 2}
+        assert mesh_lib.data_axes(m) == ("host", "data")
+        sh = mesh_lib.batch_sharding(m)
+        x = jax.device_put(jnp.zeros((64, 3)), sh)
+        # leading dim split over host*data = 4 ways
+        assert len({s.index[0] for s in x.addressable_shards}) == 4
+
+    def test_pjit_step_matches_single_device_on_host_mesh(self):
+        cfg = _cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        tx = barf_sys.make_optimizer(cfg, state.params)
+        batch = _batch(jax.random.PRNGKey(1))
+        args = (jnp.asarray(4.0), jnp.asarray(2.0), jnp.asarray(0.0))
+
+        step1 = barf_sys.make_train_step(cfg, tx, donate=False)
+        s_ref, _ = step1(state, batch, jax.random.PRNGKey(42), *args)
+
+        m = mesh_lib.make_mesh(n_data=2, n_model=2, n_hosts=2)
+        unjitted = lambda s, b, k, a, d, sg: barf_sys.train_step(
+            s, cfg, tx, b, k, a, d, sg)
+        stepN = shard_lib.pjit_train_step(unjitted, m, donate=False)
+        s_par = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        s_par = s_par.replace(params=mesh_lib.shard_params(s_par.params, m))
+        s_par, _ = stepN(s_par, mesh_lib.shard_batch(batch, m),
+                         jax.random.PRNGKey(42), *args)
+        for a, b_ in zip(jax.tree_util.tree_leaves(s_ref.params),
+                         jax.tree_util.tree_leaves(s_par.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+    def test_sharded_render_on_host_mesh(self):
+        cfg = _cfg()
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        m = mesh_lib.make_mesh(n_data=4, n_model=1, n_hosts=2)
+
+        def fwd(params, o, d, pw):
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, o, d, pw,
+                jnp.asarray(4.0), jnp.asarray(2.0), stratified=False,
+            )
+            return rgb
+
+        render = shard_lib.sharded_render(fwd, m)
+        b = _batch(jax.random.PRNGKey(1), b=100)
+        out = render(state.params, b["origs_raw"], b["dirs_raw"], b["pixel_width"])
+        ref = jax.jit(fwd)(state.params, b["origs_raw"], b["dirs_raw"], b["pixel_width"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
