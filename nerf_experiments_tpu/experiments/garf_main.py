@@ -63,6 +63,14 @@ def parse_args(argv=None):
                    help="gaborf-style rate-limited LR stepping (default 0.02 for gabor)")
     p.add_argument("--near", type=float, default=2.0)
     p.add_argument("--far", type=float, default=7.0)
+    # gaborf conv-blur-with-decay target variant (`gaborf/dataset.py:324-440`)
+    p.add_argument("--conv_blur", action="store_true", default=False,
+                   help="decaying separable-Gaussian blur of the training "
+                        "targets, re-blurred on device at each epoch-fraction "
+                        "milestone (gaborf/mip_barf dataset variant)")
+    p.add_argument("--blur_kernel_size", type=int, default=81)
+    p.add_argument("--blur_relative_sigma_start", type=float, default=0.015)
+    p.add_argument("--blur_relative_sigma_decay", type=float, default=0.99)
     common.add_common_args(p)
     p.set_defaults(seed=1337, max_epochs=None)
     return p.parse_args(argv)
@@ -248,6 +256,20 @@ def build(args):
             ef, step, state.params, dm
         ),
     ]
+    conv_blur = None
+    if args.conv_blur:
+        from nerf_experiments_tpu.ops.image_blur import ConvBlurTargets
+
+        raw_images = dm.dataset_train.images[:, :, :, -1]  # sigma-0 slot
+        conv_blur = ConvBlurTargets(
+            raw_images,
+            kernel_size=args.blur_kernel_size,
+            relative_sigma_start=args.blur_relative_sigma_start,
+            relative_sigma_decay=args.blur_relative_sigma_decay,
+            epoch_fraction_period=period or 0.02,
+            n_sigma_slots=dm.dataset_train.images.shape[3],
+        )
+        callbacks.append(conv_blur)
 
     trainer = Trainer(
         cfg=trainer_cfg,
@@ -261,6 +283,11 @@ def build(args):
         callbacks=callbacks,
         lr_fn=garf_system.lr_fn(cfg, state.params),
     )
+    if conv_blur is not None:
+        # targets start blurred at sigma_start (pre-fit swap; decays at
+        # epoch-fraction milestones thereafter)
+        trainer._train_arrays = trainer.train_store.arrays()
+        trainer.swap_train_colors(conv_blur.flat_colors())
     return cfg, state, trainer
 
 

@@ -131,28 +131,20 @@ def _outer_measure(
 
     edges_q (N, Q+1), edges_ref (N, R+1), w_ref (N, R) -> (N, Q).
     """
-    from nerf_experiments_tpu.ops.sampling import onehot_select, searchsorted_rows
-
-    cw = jnp.concatenate(
-        [jnp.zeros_like(w_ref[:, :1]), jnp.cumsum(w_ref, axis=-1)], axis=-1
-    )  # (N, R+1)
-
-    # mass of ref intervals fully inside (-inf, x]: cumweight at the last ref
-    # edge <= x for the lower bound, first ref edge >= x for the upper bound
-    # (captures partial overlaps on both sides). Vectorized searchsorted +
-    # one-hot-matmul selection (binary search / gathers are TPU
-    # anti-patterns here — see searchsorted_rows / onehot_select).
-    lo_idx = jnp.clip(
-        searchsorted_rows(edges_ref, edges_q[:, :-1], side="left") - 1,
-        0,
-        cw.shape[1] - 1,
-    )
-    hi_idx = jnp.clip(
-        searchsorted_rows(edges_ref, edges_q[:, 1:], side="right"),
-        0,
-        cw.shape[1] - 1,
-    )
-    return onehot_select(cw, hi_idx) - onehot_select(cw, lo_idx)
+    # A ref interval r contributes to query q iff it OVERLAPS [q_lo, q_hi]:
+    # ref_end_r >= q_lo AND ref_start_r <= q_hi. For sorted edges this is
+    # exactly the searchsorted/cumsum formulation (ref mass with index in
+    # [lo_idx_q, hi_idx_q)), but as ONE dense mask + ONE MXU einsum instead
+    # of two comparison-sum searchsorteds + two one-hot selections
+    # (binary search / gathers are TPU anti-patterns here).
+    ref_start = edges_ref[:, None, :-1]  # (N, 1, R)
+    ref_end = edges_ref[:, None, 1:]
+    q_lo = edges_q[:, :-1, None]         # (N, Q, 1)
+    q_hi = edges_q[:, 1:, None]
+    overlap = jnp.logical_and(ref_end >= q_lo, ref_start <= q_hi)
+    return jnp.einsum(
+        "nqr,nr->nq", overlap.astype(w_ref.dtype), w_ref,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def compute_loss(

@@ -158,14 +158,13 @@ def sample_pdf(
         return jnp.einsum("nsb,nb->ns", onehot, vals,
                           precision=jax.lax.Precision.HIGHEST)
 
-    cdf_lo = sel(cdf[:, :-1])
-    cdf_hi = sel(cdf[:, 1:])
-    e_lo = sel(t_edges[:, :-1])
-    e_hi = sel(t_edges[:, 1:])
-
-    denom = jnp.where(cdf_hi - cdf_lo < eps, 1.0, cdf_hi - cdf_lo)
-    frac = (u - cdf_lo) / denom
-    return e_lo + frac * (e_hi - e_lo)
+    # t = e_lo + (u - cdf_lo)/denom * (e_hi - e_lo). sel() is linear and u is
+    # constant over b, so this folds into TWO selections instead of four:
+    # t = sel(e_lo - cdf_lo * k) + u * sel(k), with k = d_edge / denom.
+    d_cdf = cdf[:, 1:] - cdf[:, :-1]
+    denom = jnp.where(d_cdf < eps, 1.0, d_cdf)
+    k = (t_edges[:, 1:] - t_edges[:, :-1]) / denom
+    return sel(t_edges[:, :-1] - cdf[:, :-1] * k) + u * sel(k)
 
 
 def sample_pdf_weighted_intervals(

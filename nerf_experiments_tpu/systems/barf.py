@@ -362,15 +362,104 @@ def train_step(
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
 
-def make_train_step(cfg: BarfConfig, tx: optax.GradientTransformation, donate: bool = True):
+def train_step_fused(
+    state: TrainState,
+    cfg: BarfConfig,
+    tx: optax.GradientTransformation,
+    batch: Dict,
+    key: jax.Array,
+    alpha_pos: jnp.ndarray,
+    alpha_dir: jnp.ndarray,
+    blur_sigma: jnp.ndarray,
+) -> Tuple[TrainState, Dict]:
+    """One optimization step through the fused training mega-kernel
+    (`ops/train_megakernel.py`): forward + compositing + loss grad + backward
+    run in ONE Pallas launch with VMEM-resident activations, bypassing
+    jax.value_and_grad for the radiance net. Camera gradients chain through
+    jax.vjp of the ray transform using the kernel's d_origs/d_dirs.
+
+    Numerically equivalent to train_step for the flagship dense config
+    (verified in tests/test_train_megakernel.py); requires the canonical
+    architecture and no proposal stage.
+    """
+    from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
+
+    assert not cfg.use_proposal, "fused train step is dense-path only"
+    params = state.params
+
+    (origs, dirs), vjp_cam = jax.vjp(
+        lambda cam: calibration.training_transform_rays(
+            cam, batch["img_idx"], batch["origs_noisy"], batch["dirs_noisy"]),
+        params["camera"],
+    )
+    colors = blurred_pixel_colors(batch["colors"], cfg.gaussian_blur_sigmas, blur_sigma)
+    target = colors[:, 0]
+
+    n_rays = origs.shape[0]
+    strategy = cfg.uniform_sampling_strategy
+    offset = cfg.uniform_sampling_offset_size
+    needs_key = strategy == "stratified_uniform" or offset != 0.0
+    t_start, t_end = sampling.sample_stratified(
+        key if needs_key else None, n_rays, cfg.samples_per_ray_radiance,
+        cfg.near, cfg.far, strategy, offset,
+    )
+
+    import os
+
+    mlp_cfg = _model_def(cfg.radiance).cfg
+    rgb_fine, grads_rad, d_origs, d_dirs = flagship_train_grads(
+        params["radiance"], mlp_cfg, origs, dirs, t_start, t_end, target,
+        alpha_pos, alpha_dir,
+        tile_rays=int(os.environ.get("NETPU_TRAIN_TILE", 0)),
+    )
+    (d_camera,) = vjp_cam((d_origs, d_dirs))
+    grads = {"radiance": grads_rad, "camera": d_camera}
+
+    loss = jnp.mean((rgb_fine - target) ** 2)
+    metrics = {"loss_fine": loss, "psnr": psnr(loss), "loss": loss}
+
+    grads, ok = optim.guard_nonfinite(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grads_finite"] = ok
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+
+
+def can_fuse_train_step(cfg: BarfConfig) -> bool:
+    """True when the fused mega-kernel covers this config exactly."""
+    from nerf_experiments_tpu.encodings.fourier import Barf
+
+    model = cfg.radiance if isinstance(cfg.radiance, nerf_mlp.NerfMLPConfig) else None
+    if model is None or cfg.use_proposal:
+        return False
+    pe, de = model.position_encoder, model.direction_encoder
+    return (
+        isinstance(pe, Barf) and isinstance(de, Barf)
+        and pe.include_identity and de.include_identity
+        and model.n_segments == 2 and model.delayed_direction
+        and not model.delayed_density and pe.scale == de.scale
+        and model.n_hidden >= 1
+        and cfg.integration_strategy == "middle"
+    )
+
+
+def make_train_step(cfg: BarfConfig, tx: optax.GradientTransformation,
+                    donate: bool = True, fused: bool = False):
     """jit-compiled train step closure over static config.
 
     Accepts 3 or 4 trailing scalars: (alpha_pos, alpha_dir, blur_sigma
     [, pixel_width_sigma]) — the 4th drives the Mip-BARF IPE extra-blur
-    schedule (`barf/model_mip.py:252`)."""
-    fn = lambda state, batch, key, a_pos, a_dir, sigma, pw_sigma=0.0: train_step(
-        state, cfg, tx, batch, key, a_pos, a_dir, sigma, pw_sigma
-    )
+    schedule (`barf/model_mip.py:252`). With fused=True (flagship dense
+    configs on TPU) the step runs through the training mega-kernel."""
+    if fused:
+        assert can_fuse_train_step(cfg), "config not supported by fused step"
+        fn = lambda state, batch, key, a_pos, a_dir, sigma: train_step_fused(
+            state, cfg, tx, batch, key, a_pos, a_dir, sigma
+        )
+    else:
+        fn = lambda state, batch, key, a_pos, a_dir, sigma, pw_sigma=0.0: train_step(
+            state, cfg, tx, batch, key, a_pos, a_dir, sigma, pw_sigma
+        )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 

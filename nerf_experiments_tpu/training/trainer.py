@@ -119,9 +119,14 @@ class Trainer:
         t_start = time.perf_counter()
         rays_done = 0
 
-        train_arrays = self.train_store.arrays()
+        # held on self so callbacks (e.g. the conv-blur sigma decay,
+        # ops/image_blur.py) can swap arrays between steps (or pre-fit)
+        # without retraces
+        if not hasattr(self, "_train_arrays"):
+            self._train_arrays = self.train_store.arrays()
         step = int(state.step)
         while step < total_steps:
+            train_arrays = self._train_arrays
             k_step = jax.random.fold_in(base_key, step)
             epoch_frac = self.epoch_fraction(step)
             scalars = self.scalar_fn(step, epoch_frac)
@@ -165,6 +170,16 @@ class Trainer:
         if self.checkpoint_manager is not None:
             self.checkpoint_manager.save(step, state)
         return state
+
+    def swap_train_colors(self, colors) -> None:
+        """Replace the training target colors in place (same shape/dtype —
+        the jitted step does not retrace). Used by the conv-blur-with-decay
+        dataset variant (`gaborf/dataset.py:383-390` parity)."""
+        old = self._train_arrays["colors"]
+        assert colors.shape == old.shape and colors.dtype == old.dtype, (
+            f"swap_train_colors shape/dtype mismatch: {colors.shape} vs {old.shape}"
+        )
+        self._train_arrays = dict(self._train_arrays, colors=colors)
 
     def _check_postmortem(self, train_arrays) -> None:
         """Scan the buffered grads_finite flags (one stacked transfer per log

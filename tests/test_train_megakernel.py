@@ -1,0 +1,149 @@
+"""Parity: the fused training mega-kernel's gradients vs jax.grad through the
+XLA path, on identical t bins / targets (fp32, interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_experiments_tpu.encodings.fourier import Barf
+from nerf_experiments_tpu.models import nerf_mlp
+from nerf_experiments_tpu.ops import render, sampling
+from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
+from nerf_experiments_tpu.systems.barf import NerfMLPDef, _eval_model
+
+
+def _cfg(n_hidden=2, hidden_dim=32, lv_pos=4, lv_dir=2):
+    return nerf_mlp.NerfMLPConfig(
+        position_encoder=Barf(levels=lv_pos, scale=1.0, include_identity=True),
+        direction_encoder=Barf(levels=lv_dir, scale=1.0, include_identity=True),
+        n_hidden=n_hidden, hidden_dim=hidden_dim,
+        delayed_direction=True, delayed_density=False, n_segments=2,
+    )
+
+
+def _setup(cfg, n_rays=8, S=8, seed=0):
+    params = nerf_mlp.init(jax.random.PRNGKey(seed), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), 4)
+    dirs = jax.random.normal(ks[0], (n_rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origs = jax.random.normal(ks[1], (n_rays, 3)) * 0.3
+    targets = jax.random.uniform(ks[2], (n_rays, 3))
+    t_start, t_end = sampling.sample_stratified(
+        None, n_rays, S, 2.0, 6.0, "equidistant", 0.0)
+    return params, origs, dirs, targets, t_start, t_end
+
+
+def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets,
+              alpha_pos, alpha_dir):
+    pw = jnp.full((origs.shape[0], 1), 1e-3)
+    dens, rgb_s = _eval_model(
+        NerfMLPDef(cfg), params, origs, dirs, t_start, t_end, pw,
+        alpha_pos, alpha_dir, "middle")
+    rgb, _ = render.render_rays(dens, rgb_s, t_end - t_start)
+    return jnp.mean((rgb - targets) ** 2), rgb
+
+
+@pytest.mark.parametrize("n_hidden,alpha", [(2, 2.5), (4, 4.0), (1, 1.0)])
+def test_grads_match_xla(n_hidden, alpha):
+    cfg = _cfg(n_hidden=n_hidden)
+    params, origs, dirs, targets, t_start, t_end = _setup(cfg)
+    a_pos, a_dir = jnp.asarray(alpha), jnp.asarray(alpha / 2.0)
+
+    (loss_ref, rgb_ref), grads_ref = jax.value_and_grad(
+        lambda p, o, d: _ref_loss(p, cfg, o, d, t_start, t_end, targets,
+                                  a_pos, a_dir),
+        argnums=(0, 1, 2), has_aux=True,
+    )(params, origs, dirs)
+    gp_ref, go_ref, gd_ref = grads_ref
+
+    rgb, grads, d_origs, d_dirs = flagship_train_grads(
+        params, cfg, origs, dirs, t_start, t_end, targets,
+        a_pos, a_dir, tile_rays=4, interpret=True)
+
+    np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d_origs, go_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(d_dirs, gd_ref, rtol=1e-4, atol=1e-6)
+    flat_k, _ = jax.tree_util.tree_flatten_with_path(grads)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(gp_ref)[0])
+    assert len(flat_k) == len(flat_r)
+    for path, leaf in flat_k:
+        ref_leaf = flat_r[path]
+        np.testing.assert_allclose(
+            leaf, ref_leaf, rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_padding_rays_do_not_contaminate():
+    """n not divisible by the tile: padded rays must contribute zero grads."""
+    cfg = _cfg()
+    params, origs, dirs, targets, t_start, t_end = _setup(cfg, n_rays=7)
+    a_pos, a_dir = jnp.asarray(2.0), jnp.asarray(1.0)
+
+    (_, _), grads_ref = jax.value_and_grad(
+        lambda p: _ref_loss(p, cfg, origs, dirs, t_start, t_end, targets,
+                            a_pos, a_dir),
+        has_aux=True)(params)
+
+    rgb, grads, _, _ = flagship_train_grads(
+        params, cfg, origs, dirs, t_start, t_end, targets,
+        a_pos, a_dir, tile_rays=4, interpret=True)
+    assert rgb.shape == (7, 3)
+    for k_leaf, r_leaf in zip(jax.tree_util.tree_leaves(grads),
+                              jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(k_leaf, r_leaf, rtol=2e-4, atol=1e-6)
+
+
+def test_fused_train_step_matches_standard():
+    """Full-step parity: train_step_fused == train_step (same batch/key),
+    params and metrics, through camera transform + optimizer."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    cfg_mlp = _cfg(n_hidden=2, hidden_dim=32)
+    cfg = barf_sys.BarfConfig(
+        radiance=cfg_mlp, n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+        uniform_sampling_strategy="equidistant",
+        uniform_sampling_offset_size=0.0,
+    )
+    assert barf_sys.can_fuse_train_step(cfg)
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+    tx = barf_sys.make_optimizer(cfg, state.params)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    n = 16
+    dirs = jax.random.normal(ks[0], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {
+        "origs_raw": jax.random.normal(ks[1], (n, 3)) * 0.3,
+        "origs_noisy": jax.random.normal(ks[1], (n, 3)) * 0.3,
+        "dirs_raw": dirs,
+        "dirs_noisy": dirs,
+        "colors": jax.random.uniform(ks[2], (n, 2, 3)),
+        "img_idx": jax.random.randint(ks[3], (n,), 0, 4),
+        "pixel_width": jnp.full((n, 1), 1e-3),
+    }
+    a_pos, a_dir, sigma = jnp.asarray(2.0), jnp.asarray(1.0), jnp.asarray(0.0)
+
+    s_ref, m_ref = barf_sys.train_step(
+        state, cfg, tx, batch, ks[4], a_pos, a_dir, sigma)
+    s_fused, m_fused = barf_sys.train_step_fused(
+        state, cfg, tx, batch, ks[4], a_pos, a_dir, sigma)
+
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for k_leaf, r_leaf in zip(jax.tree_util.tree_leaves(s_fused.params),
+                              jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(k_leaf, r_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_rejects_non_flagship_config():
+    cfg = nerf_mlp.NerfMLPConfig(
+        position_encoder=Barf(levels=4, scale=1.0, include_identity=False),
+        direction_encoder=Barf(levels=2, scale=1.0, include_identity=True),
+        n_hidden=2, hidden_dim=32,
+        delayed_direction=True, delayed_density=False, n_segments=2,
+    )
+    params, origs, dirs, targets, t_start, t_end = _setup(_cfg())
+    with pytest.raises(ValueError):
+        flagship_train_grads(params, cfg, origs, dirs, t_start, t_end,
+                             targets, 1.0, 1.0, interpret=True)
