@@ -117,6 +117,10 @@ def blurred_pixel_colors(
     jnp.where, so `sigma` may be a traced scalar from the BARF/Mip schedule.
     """
     sigmas = list(sigmas)
+    if sigmas != sorted(sigmas, reverse=True):
+        raise ValueError(
+            f"gaussian_blur_sigmas must be descending (most-blurred first, "
+            f"sharp last), got {sigmas}")
     sharp = colors[:, -1]
     sigma = jnp.asarray(sigma)
 

@@ -9,10 +9,14 @@ Semantics from `2d-ingp/model.py:13-115` and `3d-ingp/model.py:14-121`:
   * geometric level progression b = exp((ln r_max - ln r_min)/(L-1)),
     per-level resolution floor(r_min * b^l).
 
-TPU design: the gather over (B, 2^d) corner indices lowers to vectorized
-dynamic-gather; the backward pass is a segment-sum scatter-add into the
-table. All levels share one stacked (L, T, F) table parameter so the level
-loop is a vmap, not a Python-unrolled module list.
+TPU design: corner gathers are FLATTENED 1-D gathers (multi-dim indexed
+gathers trip a pathological ~300s libtpu compile — see
+`ops/sampling.py:take_along_last`); the backward pass is XLA's scatter-add
+into the table. All levels share one stacked (L, T, F) table parameter;
+`encode` walks the L levels in a small unrolled Python loop (levels differ
+only in resolution, so XLA fuses the unrolled bodies — a vmap over the
+stacked table was measured equivalent and the loop keeps the per-level
+bijective/hash switch in Python).
 """
 from __future__ import annotations
 

@@ -200,6 +200,13 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
     logits = mm(c0, wc1) + bc1[:]   # (B, 128) f32, cols 0:3 = rgb logits
     rgb128 = jax.nn.sigmoid(logits)
 
+    if fwd_only == 2:  # bisect probe: MLP+encodings only, no compositing
+        out_rows_ref[:] = jnp.concatenate(
+            [rgb128[:, :3], dens128[:, :3], jnp.zeros((B, 10), f32)], axis=-1)
+        for r in d_refs:
+            accum(r, jnp.zeros(r.shape, f32))
+        return
+
     # ---- per-sample scalars -> (T, S) planes (one VMEM tile each) ----
     def ts(col):
         return col.reshape(T, S)
@@ -488,7 +495,7 @@ def flagship_train_grads(
     static = (
         S, pe.levels, de.levels, float(pe.scale), float(density_scale),
         1.0 / (n * 3.0), cd, cfg.n_hidden,
-        bool(os.environ.get("NETPU_TRAIN_FWD_ONLY")),
+        int(os.environ.get("NETPU_TRAIN_FWD_ONLY", 0)),
     )
 
     rows16 = pl.BlockSpec((B, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -73,6 +73,7 @@ class Trainer:
         # scalars for offline analysis.
         self._postmortem_done = False
         self._pending_finite: List = []  # (step, key, scalars, grads_finite)
+        self._last_pose_step = -(10 ** 12)  # first log step always records
         self.steps_per_epoch = max(1, train_store.n_rays // cfg.batch_size)
 
         # ONE fused device program per step: index sampling + batch gather +
@@ -148,11 +149,14 @@ class Trainer:
                 self._check_postmortem(train_arrays)
                 dt = time.perf_counter() - t_start
                 row["train_rays_per_sec"] = rays_done / max(dt, 1e-9)
+                # rate-limited pose error: at most once per
+                # pose_error_every_n_steps, evaluated on log steps
+                # (`barf/model_garf.py:347-349` logs every 100 train batches)
                 if self.pose_error_fn is not None and (
-                    step % max(cfg.pose_error_every_n_steps, 1) < cfg.log_every_n_steps
-                    or step <= cfg.log_every_n_steps
+                    step - self._last_pose_step >= cfg.pose_error_every_n_steps
                     or step == total_steps
                 ):
+                    self._last_pose_step = step
                     row["pose_error"] = float(np.asarray(self.pose_error_fn(state.params)))
                 self.metric_logger.log(row, step)
 
