@@ -203,7 +203,9 @@ def main():
             ("proposal_barf", lambda: bench_barf(batch_size, samples, steps,
                                                  compute_dtype, proposal=True)),
             ("garf", lambda: bench_garf(batch_size, steps, compute_dtype)),
-            ("ingp", lambda: bench_ingp(4096, steps, compute_dtype)),
+            ("ingp", lambda: bench_ingp(
+                int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                compute_dtype)),
         ]:
             try:
                 detail[name] = fn()

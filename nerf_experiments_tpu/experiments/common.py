@@ -98,6 +98,7 @@ def build_barf_experiment(
     image_log_names: Tuple[Sequence[str], Sequence[str]] = ((), ()),
     checkpoint_keep: Optional[int] = None,
     mesh=None,  # jax.sharding.Mesh => SPMD train step + sharded rendering
+    image_log_taper: Optional[Tuple[float, float, float, float]] = None,
 ) -> BarfExperiment:
     dm.setup("fit")
     train_store = sampler.make_ray_store(dm.dataset_train)
@@ -201,12 +202,13 @@ def build_barf_experiment(
                                     jnp.asarray(pw), img_idx)
             return render_val(params, jnp.asarray(origs), jnp.asarray(dirs), jnp.asarray(pw))
 
+        taper = image_log_taper or (0.002, 1 / 24, 1.0, 5.0)
         img_logger = loggers.ImageReconstructionLogger(
             render_fn=render_fn,
             metric_logger=metric_logger,
             train_image_names=train_names,
             validation_image_names=val_names,
-            schedule=loggers.TaperSchedule(0.002, 1 / 24, 1.0, 5.0),
+            schedule=loggers.TaperSchedule(*taper),
         )
         callbacks.append(
             lambda trainer, state, step, ef: img_logger.maybe_log(ef, step, state.params, dm)

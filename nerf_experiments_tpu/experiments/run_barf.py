@@ -48,6 +48,9 @@ def parse_args(argv=None):
                    help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
     p.add_argument("--alpha_decay_end_step", type=int, default=100_000)
+    p.add_argument("--image_log_period_epochs", type=float, default=None,
+                   help="fixed image-reconstruction log period in epochs "
+                        "(default: the reference's 0.002->1/24 taper)")
     common.add_common_args(p)
     return p.parse_args(argv)
 
@@ -129,6 +132,11 @@ def build(args) -> common.BarfExperiment:
         use_wandb=args.wandb, wandb_name=name,
         image_log_names=(["r_1"], ["r_2"]),
         mesh=common.mesh_from_flag(args.mesh),
+        image_log_taper=(
+            # constant period: (logging_start, delay_start, delay_end, taper)
+            (args.image_log_period_epochs,) * 3 + (1.0,)
+            if args.image_log_period_epochs else None
+        ),
     )
 
 

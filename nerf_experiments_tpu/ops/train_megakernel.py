@@ -43,6 +43,19 @@ Scope: the flagship architecture only — Barf position+direction encoders
 with include_identity, n_segments=2, delayed_direction=True,
 delayed_density=False (`model_interpolation_architecture.py:33-168`
 semantics). The generic XLA path remains for everything else.
+
+MEASURED STATUS (v5e, 1024x128 bf16, round 2): kernel-only 7.7 ms ~= the
+XLA fwd+bwd it replaces; full fused step 8.3 ms vs XLA step 8.5 ms. The
+kernel's win today is NOT latency but capability: it sidesteps the libtpu
+regalloc RET_CHECK that hard-crashes the XLA path at batch >= 8192 —
+batch 8192/16384 run at ~143k rays/s (vs 131k round-1 best). Bisect
+(scripts/bisect_kernel.py): fwd-only 3.7 ms, fwd-minus-compositing
+3.35 ms vs XLA fwd 2.45 ms — the per-tile overhead lives in the
+MLP+encodings body (concat relayouts, f32<->bf16 cast passes, small-GEMM
+serialization), not in compositing. Wider tiles don't help: tile=8 needs
+>16M scoped VMEM (spills; 10.4 ms), tile=16 32.9M (9.0 ms). Mosaic facts
+re-verified this round: bf16 comparisons unsupported; bf16-accumulate
+dots rejected ("matmul acc must be 32-bit"). Next attack in NEXT.md #1.
 """
 from __future__ import annotations
 

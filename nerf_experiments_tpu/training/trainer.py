@@ -84,13 +84,25 @@ class Trainer:
         pixel_width = train_store.pixel_width
         batch_size = cfg.batch_size
 
-        def fused(state, arrays, key, *scalars):
+        def fused(state, arrays, base_key, step_idx, *scalars):
+            # fold_in INSIDE the jit: an eager per-step fold_in would cost a
+            # device-tunnel roundtrip every step
+            key = jax.random.fold_in(base_key, step_idx)
             k_batch, k_step = jax.random.split(key)
             idx = jax.random.randint(k_batch, (batch_size,), 0, n_rays)
             batch = sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
             return self.step_fn(state, batch, k_step, *scalars)
 
         self._fused_step = jax.jit(fused, donate_argnums=(0,))
+
+        # schedule scalars are tiny pure functions of the step; computing
+        # them with eager jnp ops on the accelerator costs ~10 tunnel
+        # roundtrips per step (measured ~2x step-time overhead on small
+        # steps). Run them on the host CPU backend instead.
+        try:
+            self._scalar_device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            self._scalar_device = None
 
         def regen_batch(arrays, key):
             k_batch, _ = jax.random.split(key)
@@ -102,6 +114,15 @@ class Trainer:
     def epoch_fraction(self, step: int) -> float:
         return step / self.steps_per_epoch
 
+    def _host_scalars(self, step: int, epoch_frac: float):
+        """Evaluate scalar_fn on the host CPU backend and hand the jitted
+        step plain numpy scalars (no accelerator roundtrips, no retraces)."""
+        if self._scalar_device is None:
+            return self.scalar_fn(step, epoch_frac)
+        with jax.default_device(self._scalar_device):
+            scalars = self.scalar_fn(step, epoch_frac)
+        return tuple(np.asarray(s) for s in scalars)
+
     def fit(self, state) -> Any:
         cfg = self.cfg
         # per-step keys are fold_in(base, step) — a pure function of the step
@@ -110,6 +131,7 @@ class Trainer:
         # Validation gets its own base stream (fold_in requires non-negative
         # ints — folding -step overflows uint32).
         base_key, val_base_key = jax.random.split(jax.random.PRNGKey(cfg.seed))
+        self._base_key = base_key
         total_steps = (
             cfg.max_steps
             if cfg.max_steps is not None
@@ -128,15 +150,15 @@ class Trainer:
         step = int(state.step)
         while step < total_steps:
             train_arrays = self._train_arrays
-            k_step = jax.random.fold_in(base_key, step)
             epoch_frac = self.epoch_fraction(step)
-            scalars = self.scalar_fn(step, epoch_frac)
-            state, metrics = self._fused_step(state, train_arrays, k_step, *scalars)
+            scalars = self._host_scalars(step, epoch_frac)
+            state, metrics = self._fused_step(
+                state, train_arrays, base_key, step, *scalars)
             step += 1
             rays_done += cfg.batch_size
             if not self._postmortem_done and "grads_finite" in metrics:
                 self._pending_finite.append(
-                    (step - 1, k_step, scalars, metrics["grads_finite"])
+                    (step - 1, scalars, metrics["grads_finite"])
                 )
 
             if step % cfg.log_every_n_steps == 0 or step == total_steps:
@@ -193,9 +215,10 @@ class Trainer:
             return
         import jax.numpy as jnp
 
-        flags = np.asarray(jnp.stack([p[3] for p in self._pending_finite]))
-        for (bad_step, key, scalars, _), ok in zip(self._pending_finite, flags):
+        flags = np.asarray(jnp.stack([p[2] for p in self._pending_finite]))
+        for (bad_step, scalars, _), ok in zip(self._pending_finite, flags):
             if not ok:
+                key = jax.random.fold_in(self._base_key, bad_step)
                 self._dump_postmortem(train_arrays, bad_step, key, scalars)
                 self._postmortem_done = True
                 break

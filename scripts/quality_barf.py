@@ -33,6 +33,7 @@ state = run_barf.main([
     "--alpha_decay_start_step", str(STEPS // 30),
     "--alpha_decay_end_step", str(STEPS // 2),
     "--checkpoint_every_n_epochs", "10",
+    "--image_log_period_epochs", "4.0",
     "--bf16",
     "--out_dir", OUT,
 ])

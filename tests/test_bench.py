@@ -1,0 +1,31 @@
+"""bench.py must produce one valid JSON line with every config populated —
+a config-construction bug here would otherwise surface only in the driver's
+TPU run."""
+import json
+import os
+
+import pytest
+
+
+def test_bench_main_all_configs(capsys, monkeypatch):
+    monkeypatch.setenv("BENCH_BATCH", "64")
+    monkeypatch.setenv("BENCH_SAMPLES", "8")
+    monkeypatch.setenv("BENCH_STEPS", "2")
+    monkeypatch.setenv("BENCH_DTYPE", "fp32")
+    monkeypatch.setenv("BENCH_INGP_BATCH", "64")
+
+    import bench
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, f"bench must print exactly ONE line, got {out}"
+    row = json.loads(out[0])
+    assert row["metric"] == "barf_train_rays_per_sec_1chip"
+    assert row["value"] > 0 and row["unit"] == "rays/s"
+    d = row["detail"]
+    for name in ("dense_barf", "fused_step", "proposal_barf", "garf", "ingp"):
+        assert name in d, f"missing config {name}"
+        assert "error" not in d[name], f"{name} failed: {d[name]}"
+        assert d[name]["rays_per_sec"] > 0
+    assert d["render_rays_per_sec"] > 0
+    assert d["headline_path"] in ("xla", "fused_megakernel")
