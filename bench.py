@@ -116,7 +116,7 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
     return out
 
 
-def bench_garf(batch_size, steps, compute_dtype):
+def bench_garf(batch_size, steps, compute_dtype, fused=False):
     from nerf_experiments_tpu.models import garf as garf_models
     from nerf_experiments_tpu.systems import garf_system
     from __graft_entry__ import _example_batch
@@ -129,13 +129,16 @@ def bench_garf(batch_size, steps, compute_dtype):
     )
     state = garf_system.init(jax.random.PRNGKey(0), cfg)
     tx = garf_system.make_optimizer(cfg, state.params)
-    step = garf_system.make_train_step(cfg, tx, donate=True)
+    make = (garf_system.make_train_step_fused if fused
+            else garf_system.make_train_step)
+    step = make(cfg, tx, donate=True)
     batch = _example_batch(jax.random.PRNGKey(1), batch_size)
     keys = jax.random.split(jax.random.PRNGKey(2), steps + 5)
     dt, _ = _time_steps(step, state, batch, (), keys, steps)
     return {
         "rays_per_sec": round(batch_size * steps / dt, 1),
         "step_ms": round(1000 * dt / steps, 3),
+        "batch_size": batch_size,
         "samples": "64 proposal + 192 radiance (lindisp)",
     }
 
@@ -197,12 +200,16 @@ def main():
     detail["render_rays_per_sec"] = dense.pop("render_rays_per_sec", None)
 
     if run_fast:
+        fused_batch = int(os.environ.get("BENCH_FUSED_BATCH", 8192))
+        garf_batch = int(os.environ.get("BENCH_GARF_BATCH", batch_size))
         for name, fn in [
-            ("fused_step", lambda: bench_barf(batch_size, samples, steps,
+            ("fused_step", lambda: bench_barf(fused_batch, samples, steps,
                                               compute_dtype, fused=True)),
             ("proposal_barf", lambda: bench_barf(batch_size, samples, steps,
                                                  compute_dtype, proposal=True)),
-            ("garf", lambda: bench_garf(batch_size, steps, compute_dtype)),
+            ("garf", lambda: bench_garf(garf_batch, steps, compute_dtype)),
+            ("garf_fused", lambda: bench_garf(garf_batch, steps, compute_dtype,
+                                              fused=True)),
             ("ingp", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype)),

@@ -10,20 +10,30 @@ no recompute — so total MXU work is the true 3x-forward roofline.
 
 Design notes (Mosaic rules from round 1 + this kernel's VMEM lessons):
 
-  * Split matmuls instead of concats: segment-2's [z . pos_enc] input and the
-    color head's [hidden . dir_enc] input are evaluated as TWO aligned GEMMs
-    summed (z@W5a + p@W5b), eliminating the unaligned 319/283-wide
-    activations that forced per-tile relayouts in round 1. The 257-wide
-    segment output is split into a 256-wide hidden GEMM and a 128-padded
-    density GEMM. Every GEMM is 128-lane friendly.
+  * NO unaligned concats anywhere in the kernel (v2). The BARF encoding
+    [x, m*cos, m*sin] (63/27 lanes) is never materialized: the trig args
+    come from one (B, 3) @ (3, 3L) selector matmul (host-built constant),
+    and every consumer of the encoding evaluates split GEMMs summed into the
+    same fp32 accumulator (x@Wx + mcos@Wc + msin@Ws). The encoding backward
+    reduces its 3L-wide cotangent to (B, 3) with the transposed selector —
+    matmuls instead of lane slicing/tiling, which forced per-tile relayouts
+    in v1.
+  * ReLU masks are computed ONCE in forward from the fp32 GEMM output
+    (Mosaic cannot compare bf16) and stored at compute width; backward is a
+    pure multiply chain with zero compare/cast passes.
+  * Static masks are kernel INPUTS, not per-tile iota builds: strict
+    lower/upper triangular (S, S) for the compositing prefix/suffix sums,
+    and the E (B, T) / F (B, S) row/col selectors for (T, S) <-> row-space
+    conversions.
+  * The hidden + density heads share one (D, D+128) GEMM (128-padded density
+    columns), sliced at the 128-aligned boundary; their backward is one
+    (B, D+128) cotangent concat (aligned) through the same merged weight.
   * VMEM padding: any (B, k<128) array occupies full (B, 128) lanes, so
     per-SAMPLE scalars (density, blocking, transmittance, weights) live in
     (T, S) planes (one 4 kB tile each), reached via the SUPPORTED
     (B, 1) -> (T, S) reshape. The reverse reshape does not exist in Mosaic;
     the two places a (T, S) value must return to row space (compositing
-    weight w and d_density) use rowsum((E @ X_ts) * F) where E (B, T)
-    broadcasts per-ray rows and F (B, S) one-hot selects each row's own
-    sample column — two tiny MXU matmuls.
+    weight w and d_density) use rowsum((E @ X_ts) * F).
   * All kernel I/O is ROW space (one packed (B, 16) input of
     pos/dirs/tq/dists/target/valid, one packed (B, 16) output of
     d_pos/d_dirs_rep/w*rgb), so the ray tile is 4 (B = 512 sample rows),
@@ -44,18 +54,11 @@ with include_identity, n_segments=2, delayed_direction=True,
 delayed_density=False (`model_interpolation_architecture.py:33-168`
 semantics). The generic XLA path remains for everything else.
 
-MEASURED STATUS (v5e, 1024x128 bf16, round 2): kernel-only 7.7 ms ~= the
-XLA fwd+bwd it replaces; full fused step 8.3 ms vs XLA step 8.5 ms. The
-kernel's win today is NOT latency but capability: it sidesteps the libtpu
-regalloc RET_CHECK that hard-crashes the XLA path at batch >= 8192 —
-batch 8192/16384 run at ~143k rays/s (vs 131k round-1 best). Bisect
-(scripts/bisect_kernel.py): fwd-only 3.7 ms, fwd-minus-compositing
-3.35 ms vs XLA fwd 2.45 ms — the per-tile overhead lives in the
-MLP+encodings body (concat relayouts, f32<->bf16 cast passes, small-GEMM
-serialization), not in compositing. Wider tiles don't help: tile=8 needs
->16M scoped VMEM (spills; 10.4 ms), tile=16 32.9M (9.0 ms). Mosaic facts
-re-verified this round: bf16 comparisons unsupported; bf16-accumulate
-dots rejected ("matmul acc must be 32-bit"). Next attack in NEXT.md #1.
+MEASURED STATUS: see RESULTS.md (round 2) — v2 numbers recorded there after
+each hardware bench; v1 (concat encodings, re-derived masks, per-tile iota
+masks) measured kernel-only 7.7 ms at 1024x128 bf16, full fused step 8.3 ms
+vs XLA step 8.5 ms, and sidesteps the libtpu regalloc RET_CHECK that
+hard-crashes the XLA path at batch >= 8192.
 """
 from __future__ import annotations
 
@@ -64,64 +67,59 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_experiments_tpu.ops.render import DENSITY_SCALE
 
-
-def _mask_freq(levels, scale, alpha):
-    """(1, L) int iota -> (freq, mask) fp32 rows (Mosaic: int-only iota)."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, levels), 1).astype(jnp.float32)
-    freq = scale * (2.0 ** k)
-    ramp = jnp.clip(alpha - k, 0.0, 1.0)
-    mask = (1.0 - jnp.cos(ramp * jnp.pi)) / 2.0
-    return freq, mask
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _encode(x, levels, scale, alpha):
-    """Barf encoding with identity, channel-major: [x, m*cos, m*sin].
-
-    Returns (enc_f32, cos_args, sin_args, maskf) — the trig components and
-    mask*freq rows are reused by the in-kernel backward.
-    """
-    freq, mask = _mask_freq(levels, scale, alpha)
-    args = jnp.concatenate([x[:, k : k + 1] * freq for k in range(3)], axis=-1)
-    m3 = jnp.tile(mask, (1, 3))
-    cos_a, sin_a = jnp.cos(args), jnp.sin(args)
-    enc = jnp.concatenate([x, m3 * cos_a, m3 * sin_a], axis=-1)
-    maskf = jnp.tile(mask * freq, (1, 3))
-    return enc, cos_a, sin_a, maskf
-
-
-def _encode_bwd(g_enc, cos_a, sin_a, maskf, levels):
-    """d(enc)/d(x): identity part + masked trig chain. g_enc (B, 3+6L) f32."""
-    lp3 = 3 * levels
-    g_id = g_enc[:, :3]
-    g_cos = g_enc[:, 3 : 3 + lp3]
-    g_sin = g_enc[:, 3 + lp3 : 3 + 2 * lp3]
-    # d(m*cos(a))/dx = -m*sin(a)*f, d(m*sin(a))/dx = m*cos(a)*f; maskf = m*f
-    t = (g_sin * cos_a.astype(jnp.float32)
-         - g_cos * sin_a.astype(jnp.float32)) * maskf
-    parts = [
-        jnp.sum(t[:, k * levels : (k + 1) * levels], axis=-1, keepdims=True)
-        for k in range(3)
-    ]
-    return g_id + jnp.concatenate(parts, axis=-1)
+def _weight_names(n_hidden: int) -> list:
+    """Flat weight/bias order shared by _flatten_weights, the kernel, and
+    _unflatten_grads. L = n_hidden + 1 layers per segment."""
+    L = n_hidden + 1
+    names = ["w0x", "w0c", "w0s", "b0"]
+    for i in range(1, L):
+        names += [f"w1_{i}", f"b1_{i}"]
+    names += ["w5a", "w5bx", "w5bc", "w5bs", "b5"]
+    for i in range(L - 2):
+        names += [f"w2_{i}", f"b2_{i}"]
+    names += ["whd", "bhd", "wc0a", "wc0bx", "wc0bc", "wc0bs", "bc0",
+              "wc1", "bc1"]
+    return names
 
 
-def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
-    (S, LP, LD, enc_scale, dscale, inv_n3, cd, n_hidden, fwd_only) = static
+def _enc_tables(levels: int, scale: float):
+    """Host-built encoding constants: K (3, 3L) arg-selector, SEL (3L, 3)
+    backward reducer, FR (1, 3L) freq row, KIDX (1, 3L) level index row."""
+    j = np.arange(3 * levels)
+    freq = scale * (2.0 ** (j % levels)).astype(np.float32)
+    sel = (j // levels)[:, None] == np.arange(3)[None, :]
+    sel = sel.astype(np.float32)                       # (3L, 3)
+    k_mat = (sel * freq[:, None]).T                    # (3, 3L)
+    fr = freq[None, :]                                 # (1, 3L)
+    kidx = (j % levels)[None, :].astype(np.float32)    # (1, 3L)
+    return (jnp.asarray(k_mat), jnp.asarray(sel), jnp.asarray(fr),
+            jnp.asarray(kidx))
+
+
+def _kernel(static, rays_ref, apos_ref, adir_ref,
+            kp_ref, selp_ref, frp_ref, kxp_ref,
+            kd_ref, seld_ref, frd_ref, kxd_ref,
+            lt_ref, ut_ref, e_ref, f_ref, *refs):
+    (S, dscale, inv_n3, cd, n_hidden, fwd_only) = static
     f32 = jnp.float32
-    n_seg_layers = n_hidden + 1
-    # weight order: seg1 [(w,b)]*L, seg2 [w5a, w5b, b5, (w,b)*(L-2), wh, wd,
-    # bh, bd], color [wc0a, wc0b, bc0, wc1, bc1]
-    n_w = 4 * n_seg_layers + 8
-    W = refs[:n_w]
+    L = n_hidden + 1
+    names = _weight_names(n_hidden)
+    n_w = len(names)
+    W = {nm: refs[i] for i, nm in enumerate(names)}
     out_rows_ref = refs[n_w]
-    d_refs = refs[n_w + 1:]  # same order as W
+    Dref = {nm: refs[n_w + 1 + i] for i, nm in enumerate(names)}
 
     first = pl.program_id(0) == 0
+    mdt = cd if cd is not None else f32  # mask / stored-activation dtype
 
     def cde(x):
         return x.astype(cd) if cd is not None else x
@@ -130,7 +128,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
         if cd is None:
             return jax.lax.dot_general(
                 a, b, (dims, ((), ())),
-                preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=f32, precision=HIGHEST)
         return jax.lax.dot_general(
             a.astype(cd), b.astype(cd), (dims, ((), ())),
             preferred_element_type=f32)
@@ -146,7 +144,16 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
         """a^T @ g contracted over rows (dW)."""
         return _dot(a, g, ((0,), (0,)))
 
-    def accum(ref, val):
+    def fdot(a, b_ref):
+        """Full-precision fp32 dot against a host constant (trig args and
+        encoding-backward reductions need exact fp32)."""
+        return jax.lax.dot_general(
+            a, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HIGHEST)
+
+    def accum(name, val):
+        ref = Dref[name]
+
         @pl.when(first)
         def _():
             ref[:] = val
@@ -154,6 +161,9 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
         @pl.when(jnp.logical_not(first))
         def _():
             ref[:] = ref[:] + val
+
+    def bsum(g):
+        return jnp.sum(g, axis=0, keepdims=True)
 
     rays = rays_ref[:]             # (B, 16) f32 packed rows
     pos = rays[:, 0:3]
@@ -163,61 +173,68 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
     a_pos = apos_ref[0, 0]
     a_dir = adir_ref[0, 0]
 
-    # ---- encodings (forward) ----
-    p_enc_f, cosP, sinP, maskfP = _encode(pos, LP, enc_scale, a_pos)
-    d_enc_f, cosD, sinD, maskfD = _encode(dirs, LD, enc_scale, a_dir)
-    p_enc = cde(p_enc_f)
-    d_enc = cde(d_enc_f)
-    # trig components are only re-read by the encoding backward — store at
-    # compute width (VMEM budget; exact in fp32 mode)
-    cosP, sinP = cde(cosP), cde(sinP)
-    cosD, sinD = cde(cosD), cde(sinD)
+    # ---- encodings (forward): masked trig features, no concat ----
+    def enc(x, k_ref, kx_ref, a):
+        args = fdot(x, k_ref)                       # (B, 3L) fp32
+        ramp = jnp.clip(a - kx_ref[:], 0.0, 1.0)
+        m3 = (1.0 - jnp.cos(ramp * jnp.pi)) / 2.0   # (1, 3L) BARF window
+        return cde(m3 * jnp.cos(args)), cde(m3 * jnp.sin(args))
 
-    # ---- MLP forward, activations kept in VMEM (cd width) ----
-    iw = 0
+    mcosP, msinP = enc(pos, kp_ref, kxp_ref, a_pos)
+    mcosD, msinD = enc(dirs, kd_ref, kxd_ref, a_dir)
 
-    def take():
-        nonlocal iw
-        r = W[iw]
-        iw += 1
-        return r
+    def enc_bwd(g_id, g_cos, g_sin, mcos, msin, fr_ref, sel_ref):
+        # d(m cos a)/dx = -m sin(a) f, d(m sin a)/dx = m cos(a) f; the mask
+        # is already folded into the stored features.
+        t = (g_sin * mcos.astype(f32) - g_cos * msin.astype(f32)) * fr_ref[:]
+        return g_id + fdot(t, sel_ref)              # (B, 3)
 
-    seg1_w = [(take(), take()) for _ in range(n_seg_layers)]
-    w5a, w5b, b5 = take(), take(), take()
-    seg2_mid = [(take(), take()) for _ in range(n_seg_layers - 2)]
-    wh, wd, bh, bd = take(), take(), take(), take()
-    wc0a, wc0b, bc0 = take(), take(), take()
-    wc1, bc1 = take(), take()
+    def relu_mask(z):
+        """fp32 pre-activation -> (post-relu at compute width, stored mask).
+        cde(z) * m == cde(max(z, 0)) exactly (m in {0, 1})."""
+        m = (z > 0.0).astype(mdt)
+        return cde(z) * m, m
 
-    acts1 = []  # activations of segment 1 (cd; last entry pre-relu)
-    h = p_enc
-    for li, (w, b) in enumerate(seg1_w):
-        z = mm(h, w) + b[:]
-        if li < n_seg_layers - 1:
-            z = jnp.maximum(z, 0.0)
-        h = cde(z)
+    # ---- MLP forward, activations + masks kept in VMEM (cd width) ----
+    z0 = (mm(pos, W["w0x"]) + mm(mcosP, W["w0c"]) + mm(msinP, W["w0s"])
+          + W["b0"][:])
+    h, m = relu_mask(z0)
+    acts1, masks1 = [h], [m]
+    for i in range(1, L):
+        z = mm(h, W[f"w1_{i}"]) + W[f"b1_{i}"][:]
+        # the last entry is the INTER-SEGMENT relu (reference applies relu
+        # between segments); its mask gates the grad into segment 1
+        h, m = relu_mask(z)
         acts1.append(h)
-    z1 = acts1[-1]  # segment-1 output, pre-inter-segment-relu (cd)
-    zrel = cde(jnp.maximum(z1.astype(f32), 0.0))
+        masks1.append(m)
+    zrel = acts1[-1]
 
-    acts2 = []
-    s = cde(jnp.maximum(mm(zrel, w5a) + mm(p_enc, w5b) + b5[:], 0.0))
-    acts2.append(s)
-    for w, b in seg2_mid:
-        s = cde(jnp.maximum(mm(s, w) + b[:], 0.0))
+    z5 = (mm(zrel, W["w5a"]) + mm(pos, W["w5bx"]) + mm(mcosP, W["w5bc"])
+          + mm(msinP, W["w5bs"]) + W["b5"][:])
+    s, m = relu_mask(z5)
+    acts2, masks2 = [s], [m]
+    for i in range(L - 2):
+        z = mm(s, W[f"w2_{i}"]) + W[f"b2_{i}"][:]
+        s, m = relu_mask(z)
         acts2.append(s)
-    hid = cde(mm(s, wh) + bh[:])    # (B, D) raw (no relu — segment output)
-    dens128 = mm(s, wd) + bd[:]     # (B, 128) f32, col 0 = density_raw
+        masks2.append(m)
 
-    c0 = cde(jnp.maximum(mm(hid, wc0a) + mm(d_enc, wc0b) + bc0[:], 0.0))
-    logits = mm(c0, wc1) + bc1[:]   # (B, 128) f32, cols 0:3 = rgb logits
+    Dh = W["whd"].shape[1] - 128
+    zhd = mm(s, W["whd"]) + W["bhd"][:]  # (B, Dh+128) f32
+    hid = cde(zhd[:, :Dh])               # raw segment output (no relu)
+    dens128 = zhd[:, Dh:]                # (B, 128) f32, col 0 = density_raw
+
+    c0_z = (mm(hid, W["wc0a"]) + mm(dirs, W["wc0bx"])
+            + mm(mcosD, W["wc0bc"]) + mm(msinD, W["wc0bs"]) + W["bc0"][:])
+    c0, mc0 = relu_mask(c0_z)
+    logits = mm(c0, W["wc1"]) + W["bc1"][:]  # (B, 128) f32, cols 0:3 = rgb
     rgb128 = jax.nn.sigmoid(logits)
 
     if fwd_only == 2:  # bisect probe: MLP+encodings only, no compositing
         out_rows_ref[:] = jnp.concatenate(
             [rgb128[:, :3], dens128[:, :3], jnp.zeros((B, 10), f32)], axis=-1)
-        for r in d_refs:
-            accum(r, jnp.zeros(r.shape, f32))
+        for nm in names:
+            accum(nm, jnp.zeros(Dref[nm].shape, f32))
         return
 
     # ---- per-sample scalars -> (T, S) planes (one VMEM tile each) ----
@@ -231,12 +248,12 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
 
     dists = ts(rays[:, 7:8])
     blocking = -density * dists * dscale          # (T, S) f32 (<= 0)
-    i_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    j_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    lower_strict = (i_s < j_s).astype(f32)
-    excl = jax.lax.dot_general(
-        blocking, lower_strict, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)               # exclusive in-ray prefix
+
+    def mv(m_, v):
+        return jax.lax.dot_general(
+            m_, v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    excl = mv(blocking, lt_ref[:])                # exclusive in-ray prefix
     trans = jnp.exp(excl)
     alpha_c = 1.0 - jnp.exp(blocking)
     w_ts = trans * alpha_c                        # (T, S)
@@ -255,14 +272,10 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
     # ---- loss gradient (masked MSE), in-kernel ----
     g_fine = [2.0 * (rgb_fine[c] - tgt[c]) * inv_n3 * valid for c in range(3)]
 
-
     # ---- compositing backward (in (T, S)) ----
     g_w = g_fine[0] * cr + g_fine[1] * cg + g_fine[2] * cb   # (T, S)
     q = g_w * w_ts
-    upper_strict = (i_s > j_s).astype(f32)
-    suffix = jax.lax.dot_general(
-        q, upper_strict, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)               # sum_{s>i} g_w_s * w_s
+    suffix = mv(q, ut_ref[:])                     # sum_{s>i} g_w_s * w_s
     d_blocking = -g_w * trans * (1.0 - alpha_c) + suffix
     d_density = d_blocking * (-dists * dscale)
     sp_grad = jnp.where(
@@ -271,16 +284,8 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
     d_density_raw = d_density * sp_grad           # (T, S)
 
     # ---- the two (T,S) -> row conversions: rowsum((E @ X) * F) ----
-    i_e = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
-    r_e = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
-    e_mat = ((i_e // S) == r_e).astype(f32)       # (B, T)
-    i_f = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
-    s_f = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    f_mat = ((i_f % S) == s_f).astype(f32)        # (B, S)
-
-    def mv(m, v):
-        return jax.lax.dot_general(
-            m, v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    e_mat = e_ref[:]                              # (B, T) ray-row selector
+    f_mat = f_ref[:]                              # (B, S) own-column selector
 
     def ts_to_rows(x_ts):
         return jnp.sum(mv(e_mat, x_ts) * f_mat, axis=-1, keepdims=True)
@@ -289,8 +294,8 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
         out_rows_ref[:] = jnp.concatenate(
             [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),
              ts_to_rows(g_w), jnp.zeros((B, 12), f32)], axis=-1)
-        for r in d_refs:
-            accum(r, jnp.zeros(r.shape, f32))
+        for nm in names:
+            accum(nm, jnp.zeros(Dref[nm].shape, f32))
         return
 
     w_row = ts_to_rows(w_ts)                      # (B, 1)
@@ -300,72 +305,78 @@ def _kernel(static, rays_ref, apos_ref, adir_ref, *refs):
 
     # ---- head backward ----
     zero125 = jnp.zeros((B, 125), f32)
-    d_logits = jnp.concatenate([d_rgb3, zero125], axis=-1) * rgb128 * (1.0 - rgb128)
-    accum(d_refs[n_w - 2], outer(c0, d_logits))   # dWc1
-    accum(d_refs[n_w - 1], jnp.sum(d_logits, axis=0, keepdims=True))  # dbc1
-    g_c0 = mm_t(d_logits, wc1) * (c0.astype(f32) > 0.0).astype(f32)
-    accum(d_refs[n_w - 5], outer(hid, g_c0))      # dWc0a
-    accum(d_refs[n_w - 4], outer(d_enc, g_c0))    # dWc0b
-    accum(d_refs[n_w - 3], jnp.sum(g_c0, axis=0, keepdims=True))  # dbc0
-    g_hid = mm_t(g_c0, wc0a)                      # (B, D) f32 (hid has no relu)
-    g_denc = mm_t(g_c0, wc0b)                     # (B, Ddir) f32
+    d_logits = (jnp.concatenate([d_rgb3, zero125], axis=-1)
+                * rgb128 * (1.0 - rgb128))
+    accum("wc1", outer(c0, d_logits))
+    accum("bc1", bsum(d_logits))
+    g_c0 = mm_t(d_logits, W["wc1"]) * mc0
+    accum("wc0a", outer(hid, g_c0))
+    accum("wc0bx", outer(dirs, g_c0))
+    accum("wc0bc", outer(mcosD, g_c0))
+    accum("wc0bs", outer(msinD, g_c0))
+    accum("bc0", bsum(g_c0))
+    g_hid = mm_t(g_c0, W["wc0a"])                 # (B, Dh) f32 (no relu)
+    d_dirs_rep = enc_bwd(
+        mm_t(g_c0, W["wc0bx"]), mm_t(g_c0, W["wc0bc"]),
+        mm_t(g_c0, W["wc0bs"]), mcosD, msinD, frd_ref, seld_ref)
 
     d_dens128 = jnp.concatenate(
         [d_dens_row, jnp.zeros((B, 127), f32)], axis=-1)
+    g_hd = jnp.concatenate([g_hid, d_dens128], axis=-1)  # (B, Dh+128) aligned
 
     # ---- segment 2 backward ----
-    base = 2 * n_seg_layers  # index of w5a in the flat list
-    ih = base + 3 + 2 * (n_seg_layers - 2)  # index of wh
-    accum(d_refs[ih], outer(s, g_hid))            # dWh
-    accum(d_refs[ih + 1], outer(s, d_dens128))    # dWd
-    accum(d_refs[ih + 2], jnp.sum(g_hid, axis=0, keepdims=True))     # dbh
-    accum(d_refs[ih + 3], jnp.sum(d_dens128, axis=0, keepdims=True))  # dbd
-    g = mm_t(g_hid, wh) + mm_t(d_dens128, wd)     # grad into s (post-relu)
-    for li in range(n_seg_layers - 3, -1, -1):
-        g = g * (acts2[li + 1].astype(f32) > 0.0).astype(f32)
-        w, _b = seg2_mid[li]
-        idx = base + 3 + 2 * li
-        accum(d_refs[idx], outer(acts2[li], g))
-        accum(d_refs[idx + 1], jnp.sum(g, axis=0, keepdims=True))
-        g = mm_t(g, w)
-    g = g * (acts2[0].astype(f32) > 0.0).astype(f32)
-    # recompute zrel from z1 (frees the forward buffer across the bwd chain)
-    zrel_b = cde(jnp.maximum(z1.astype(f32), 0.0))
-    accum(d_refs[base], outer(zrel_b, g))         # dW5a
-    accum(d_refs[base + 1], outer(p_enc, g))      # dW5b
-    accum(d_refs[base + 2], jnp.sum(g, axis=0, keepdims=True))  # db5
-    g_penc = mm_t(g, w5b)                         # pos_enc grad (from seg2)
-    g_z = mm_t(g, w5a) * (z1.astype(f32) > 0.0).astype(f32)  # inter-seg relu
+    accum("whd", outer(s, g_hd))
+    accum("bhd", bsum(g_hd))
+    g = mm_t(g_hd, W["whd"])                      # grad wrt s (post-relu)
+    for li in range(L - 3, -1, -1):
+        g = g * masks2[li + 1]
+        accum(f"w2_{li}", outer(acts2[li], g))
+        accum(f"b2_{li}", bsum(g))
+        g = mm_t(g, W[f"w2_{li}"])
+    g = g * masks2[0]
+    accum("w5a", outer(zrel, g))
+    accum("w5bx", outer(pos, g))
+    accum("w5bc", outer(mcosP, g))
+    accum("w5bs", outer(msinP, g))
+    accum("b5", bsum(g))
+    g_id_p = mm_t(g, W["w5bx"])
+    g_cos_p = mm_t(g, W["w5bc"])
+    g_sin_p = mm_t(g, W["w5bs"])
+    g = mm_t(g, W["w5a"]) * masks1[L - 1]         # inter-segment relu
 
     # ---- segment 1 backward ----
-    g = g_z
-    for li in range(n_seg_layers - 1, -1, -1):
-        if li < n_seg_layers - 1:
-            g = g * (acts1[li].astype(f32) > 0.0).astype(f32)
-        a_in = acts1[li - 1] if li > 0 else p_enc
-        w, _b = seg1_w[li]
-        accum(d_refs[2 * li], outer(a_in, g))
-        accum(d_refs[2 * li + 1], jnp.sum(g, axis=0, keepdims=True))
-        g = mm_t(g, w)
-    g_penc = g_penc + g                           # (B, P) f32
+    for li in range(L - 1, 0, -1):
+        accum(f"w1_{li}", outer(acts1[li - 1], g))
+        accum(f"b1_{li}", bsum(g))
+        g = mm_t(g, W[f"w1_{li}"]) * masks1[li - 1]
+    accum("w0x", outer(pos, g))
+    accum("w0c", outer(mcosP, g))
+    accum("w0s", outer(msinP, g))
+    accum("b0", bsum(g))
+    g_id_p = g_id_p + mm_t(g, W["w0x"])
+    g_cos_p = g_cos_p + mm_t(g, W["w0c"])
+    g_sin_p = g_sin_p + mm_t(g, W["w0s"])
 
     # ---- encoding backward -> per-row geometry grads ----
-    d_pos = _encode_bwd(g_penc, cosP, sinP, maskfP, LP)       # (B, 3)
-    d_dirs_rep = _encode_bwd(g_denc, cosD, sinD, maskfD, LD)  # (B, 3)
+    d_pos = enc_bwd(g_id_p, g_cos_p, g_sin_p, mcosP, msinP, frp_ref, selp_ref)
     wrgb = jnp.concatenate(
         [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),       # per-ray rgb
          d_pos, d_dirs_rep, jnp.zeros((B, 7), f32)], axis=-1)
     out_rows_ref[:] = wrgb
 
 
-def _flatten_weights(params: Dict, n_hidden: int, cd) -> list:
-    """Standard NerfMLP pytree -> the kernel's split/padded flat weight list.
+def _flatten_weights(params: Dict, cfg, cd) -> list:
+    """Standard NerfMLP pytree -> the kernel's split/merged/padded flat
+    weight list (order = _weight_names).
 
     Weights are cast to the compute dtype (bf16 halves their VMEM footprint);
     biases stay fp32 (added to fp32 accumulators). The density and final
-    color columns are zero-padded to 128 lanes.
+    color columns are zero-padded to 128 lanes; the hidden + density heads
+    are merged into one (D, D+128) matrix.
     """
-    L = n_hidden + 1
+    L = cfg.n_hidden + 1
+    LP3 = 3 * cfg.position_encoder.levels
+    LD3 = 3 * cfg.direction_encoder.levels
     s1 = params["segments"][0]["layers"]
     s2 = params["segments"][1]["layers"]
     col = params["color"]
@@ -374,60 +385,62 @@ def _flatten_weights(params: Dict, n_hidden: int, cd) -> list:
     wcast = (lambda w: w.astype(cd)) if cd is not None else (lambda w: w)
     b2d = lambda b: b.astype(jnp.float32).reshape(1, -1)
 
+    def split_enc_rows(w, lp3):
+        """(3 + 2*lp3, out) -> x / cos / sin row blocks."""
+        return wcast(w[:3]), wcast(w[3 : 3 + lp3]), wcast(w[3 + lp3 :])
+
     flat = []
-    for l in s1:
+    w0x, w0c, w0s = split_enc_rows(s1[0]["w"], LP3)
+    flat += [w0x, w0c, w0s, b2d(s1[0]["b"])]
+    for l in s1[1:]:
         flat += [wcast(l["w"]), b2d(l["b"])]
     w5 = s2[0]["w"]  # (D + P, D): rows 0:D = z-part, D:D+P = pos_enc part
-    flat += [wcast(w5[:D]), wcast(w5[D:]), b2d(s2[0]["b"])]
+    w5bx, w5bc, w5bs = split_enc_rows(w5[D:], LP3)
+    flat += [wcast(w5[:D]), w5bx, w5bc, w5bs, b2d(s2[0]["b"])]
     for l in s2[1:L - 1]:
         flat += [wcast(l["w"]), b2d(l["b"])]
     w9 = s2[L - 1]["w"]  # (D, D + 1): cols 0:D hidden, D density
-    wd = jnp.pad(w9[:, D:], ((0, 0), (0, 127)))
-    bd = jnp.pad(s2[L - 1]["b"][D:].reshape(1, 1), ((0, 0), (0, 127)))
-    flat += [wcast(w9[:, :D]), wcast(wd),
-             b2d(s2[L - 1]["b"][:D]), bd.astype(jnp.float32)]
+    whd = jnp.concatenate(
+        [w9[:, :D], jnp.pad(w9[:, D:], ((0, 0), (0, 127)))], axis=1)
+    bhd = jnp.concatenate(
+        [s2[L - 1]["b"][:D], jnp.pad(s2[L - 1]["b"][D:], (0, 127))])
+    flat += [wcast(whd), b2d(bhd)]
     wc0 = col[0]["w"]  # (D + Ddir, C)
-    flat += [wcast(wc0[:D]), wcast(wc0[D:]), b2d(col[0]["b"])]
+    wc0bx, wc0bc, wc0bs = split_enc_rows(wc0[D:], LD3)
+    flat += [wcast(wc0[:D]), wc0bx, wc0bc, wc0bs, b2d(col[0]["b"])]
     wc1 = jnp.pad(col[1]["w"], ((0, 0), (0, 125)))  # (C, 3) -> (C, 128)
     bc1 = jnp.pad(col[1]["b"].reshape(1, 3), ((0, 0), (0, 125)))
     flat += [wcast(wc1), bc1.astype(jnp.float32)]
     return flat
 
 
-def _unflatten_grads(outs, params: Dict, n_hidden: int) -> Dict:
+def _unflatten_grads(outs, params: Dict, cfg) -> Dict:
     """Kernel dW/db list (same order/shapes as the flat weights, fp32) back
     into the standard radiance pytree."""
-    L = n_hidden + 1
+    L = cfg.n_hidden + 1
+    names = _weight_names(cfg.n_hidden)
+    G = dict(zip(names, outs))
+    D = params["segments"][0]["layers"][0]["w"].shape[1]
 
-    i = 0
-
-    def take():
-        nonlocal i
-        r = outs[i]
-        i += 1
-        return r
-
-    seg1 = []
-    for _ in range(L):
-        w = take()
-        b = take()[0]
-        seg1.append({"w": w, "b": b})
-    dw5a, dw5b, db5 = take(), take(), take()[0]
-    seg2 = [{"w": jnp.concatenate([dw5a, dw5b], axis=0), "b": db5}]
-    for _ in range(L - 2):
-        w = take()
-        b = take()[0]
-        seg2.append({"w": w, "b": b})
-    dwh, dwd, dbh, dbd = take(), take(), take()[0], take()[0]
+    seg1 = [{"w": jnp.concatenate([G["w0x"], G["w0c"], G["w0s"]], axis=0),
+             "b": G["b0"][0]}]
+    for i in range(1, L):
+        seg1.append({"w": G[f"w1_{i}"], "b": G[f"b1_{i}"][0]})
+    seg2 = [{"w": jnp.concatenate(
+                 [G["w5a"], G["w5bx"], G["w5bc"], G["w5bs"]], axis=0),
+             "b": G["b5"][0]}]
+    for i in range(L - 2):
+        seg2.append({"w": G[f"w2_{i}"], "b": G[f"b2_{i}"][0]})
+    whd, bhd = G["whd"], G["bhd"][0]
     seg2.append({
-        "w": jnp.concatenate([dwh, dwd[:, :1]], axis=1),
-        "b": jnp.concatenate([dbh, dbd[:1]]),
+        "w": jnp.concatenate([whd[:, :D], whd[:, D : D + 1]], axis=1),
+        "b": jnp.concatenate([bhd[:D], bhd[D : D + 1]]),
     })
-    dwc0a, dwc0b, dbc0 = take(), take(), take()[0]
-    dwc1, dbc1 = take(), take()[0]
     color = [
-        {"w": jnp.concatenate([dwc0a, dwc0b], axis=0), "b": dbc0},
-        {"w": dwc1[:, :3], "b": dbc1[:3]},
+        {"w": jnp.concatenate(
+             [G["wc0a"], G["wc0bx"], G["wc0bc"], G["wc0bs"]], axis=0),
+         "b": G["bc0"][0]},
+        {"w": G["wc1"][:, :3], "b": G["bc1"][0][:3]},
     ]
     return {"segments": [{"layers": seg1}, {"layers": seg2}], "color": color}
 
@@ -504,12 +517,24 @@ def flagship_train_grads(
 
     import os
 
-    flat_w = _flatten_weights(params, cfg.n_hidden, cd)
+    flat_w = _flatten_weights(params, cfg, cd)
     static = (
-        S, pe.levels, de.levels, float(pe.scale), float(density_scale),
-        1.0 / (n * 3.0), cd, cfg.n_hidden,
+        S, float(density_scale), 1.0 / (n * 3.0), cd, cfg.n_hidden,
         int(os.environ.get("NETPU_TRAIN_FWD_ONLY", 0)),
     )
+
+    # host-built static mask/selector constants (hoisted out of the kernel)
+    kp, selp, frp, kxp = _enc_tables(pe.levels, float(pe.scale))
+    kd, seld, frd, kxd = _enc_tables(de.levels, float(de.scale))
+    i_s, j_s = np.indices((S, S))
+    lt = jnp.asarray((i_s < j_s).astype(np.float32))   # strict "later" cols
+    ut = jnp.asarray((i_s > j_s).astype(np.float32))
+    i_b = np.arange(B)
+    e_mat = jnp.asarray((i_b[:, None] // S == np.arange(tile)[None, :])
+                        .astype(np.float32))           # (B, T)
+    f_mat = jnp.asarray((i_b[:, None] % S == np.arange(S)[None, :])
+                        .astype(np.float32))           # (B, S)
+    consts = [kp, selp, frp, kxp, kd, seld, frd, kxd, lt, ut, e_mat, f_mat]
 
     rows16 = pl.BlockSpec((B, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -517,6 +542,7 @@ def flagship_train_grads(
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     in_specs = [rows16, smem, smem]
+    in_specs += [full(x.shape) for x in consts]
     in_specs += [full(x.shape) for x in flat_w]
 
     out_specs = [rows16]
@@ -525,9 +551,8 @@ def flagship_train_grads(
         out_specs.append(full(x.shape))
         out_shapes.append(jax.ShapeDtypeStruct(x.shape, f32))
 
-    # raise the Mosaic scoped-VMEM limit for wide tiles (tile=8 measures
-    # ~16.3M live; the physical budget is larger — the 16M default is the
-    # compiler's conservative cap)
+    # raise the Mosaic scoped-VMEM limit for wide tiles (the 16M default is
+    # the compiler's conservative cap; the physical budget is larger)
     vmem_mb = int(os.environ.get("NETPU_TRAIN_VMEM_MB", 0))
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
@@ -545,6 +570,7 @@ def flagship_train_grads(
         rays_rows,
         jnp.asarray(alpha_pos, f32).reshape(1, 1),
         jnp.asarray(alpha_dir, f32).reshape(1, 1),
+        *consts,
         *flat_w,
     )
     # rows: [rgb_fine(replicated per ray), d_pos, d_dirs_rep, pad]
@@ -555,7 +581,7 @@ def flagship_train_grads(
     d_origs = jnp.sum(d_pos, axis=1)
     d_dirs = jnp.sum(t_q[:n, :, None] * d_pos + d_dirs_rep, axis=1)
 
-    grads = _unflatten_grads(outs[1:], params, cfg.n_hidden)
+    grads = _unflatten_grads(outs[1:], params, cfg)
     # match the pytree's leaf dtypes (optax requires grads dtype == param dtype)
     grads = jax.tree_util.tree_map(
         lambda g, p: g.astype(p.dtype), grads, params)

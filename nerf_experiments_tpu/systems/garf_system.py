@@ -220,6 +220,94 @@ def make_train_step(cfg: GarfSystemConfig, tx, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def train_step_fused(
+    state: TrainState,
+    cfg: GarfSystemConfig,
+    tx: optax.GradientTransformation,
+    batch: Dict,
+    key: jax.Array,
+) -> Tuple[TrainState, Dict]:
+    """One optimization step with the radiance half running through the GARF
+    mega-kernel (`ops/garf_megakernel.py`): forward + compositing + MSE grad
+    + backward in one Pallas launch, activations resident in VMEM.
+
+    Gradient-exact vs `train_step` because GARF's loss factors cleanly
+    (see the kernel docstring): radiance <- photometric only (kernel),
+    proposal <- interlevel only (XLA autodiff over a recompute of the cheap
+    proposal branch with the same PRNG key), camera <- sum of both paths."""
+    from nerf_experiments_tpu.ops.garf_megakernel import (
+        garf_radiance_train_grads,
+    )
+
+    def transform(cam):
+        return calibration.training_transform_rays(
+            cam, batch["img_idx"], batch["origs_noisy"], batch["dirs_noisy"])
+
+    (origs, dirs), tvjp = jax.vjp(transform, state.params["camera"])
+
+    def sample_bins(prop_params, origs_, dirs_):
+        def positions(ts, te):
+            tm = (ts + te)[..., None] / 2.0
+            return origs_[:, None] + dirs_[:, None] * tm
+
+        def prop_sigma_fn(ts, te):
+            pos = positions(ts, te).reshape(-1, 3)
+            return garf.proposal_apply(
+                prop_params, cfg.prop_cfg, pos).reshape(ts.shape)
+
+        return proposal.sampling(
+            prop_sigma_fns=[prop_sigma_fn],
+            prop_samples=[cfg.proposal_samples_per_ray],
+            num_samples=cfg.radiance_samples_per_ray,
+            n_rays=origs_.shape[0],
+            near_plane=cfg.near,
+            far_plane=cfg.far,
+            sampling_type="lindisp",
+            stratified=True,
+            key=key,
+        )
+
+    t_starts, t_ends, _ = jax.lax.stop_gradient(
+        sample_bins(state.params["proposal"], origs, dirs))
+
+    targets = batch["colors"][:, -1]
+    rgb, weights, grads_rad, d_origs, d_dirs = garf_radiance_train_grads(
+        state.params["radiance"], cfg.net, origs, dirs,
+        t_starts, t_ends, targets)
+
+    def interlevel(prop_params, origs_, dirs_):
+        # same key => bit-identical stratified bins; the proposal branch is
+        # ~3% of the radiance FLOPs, so the recompute is cheap
+        _, _, aux = sample_bins(prop_params, origs_, dirs_)
+        return proposal.compute_loss(aux, weights)
+
+    ploss, (g_prop, g_origs_il, g_dirs_il) = jax.value_and_grad(
+        interlevel, argnums=(0, 1, 2))(
+            state.params["proposal"], origs, dirs)
+    (g_cam,) = tvjp((d_origs + g_origs_il, d_dirs + g_dirs_il))
+
+    grads = {"proposal": g_prop, "radiance": grads_rad, "camera": g_cam}
+    radiance_loss = jnp.mean((rgb - targets) ** 2)
+
+    grads, ok = optim.guard_nonfinite(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "proposal_loss": ploss,
+        "radiance_loss": radiance_loss,
+        "psnr": psnr(radiance_loss),
+        "loss": radiance_loss + ploss,
+        "grads_finite": ok,
+    }
+    return (TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1), metrics)
+
+
+def make_train_step_fused(cfg: GarfSystemConfig, tx, donate: bool = True):
+    fn = lambda state, batch, key: train_step_fused(state, cfg, tx, batch, key)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
 def pose_error_metric(params, camera_origins_raw, camera_origins_noisy):
     return calibration.compute_pose_error(
         params["camera"], camera_origins_raw, camera_origins_noisy
