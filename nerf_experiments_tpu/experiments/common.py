@@ -99,6 +99,7 @@ def build_barf_experiment(
     checkpoint_keep: Optional[int] = None,
     mesh=None,  # jax.sharding.Mesh => SPMD train step + sharded rendering
     image_log_taper: Optional[Tuple[float, float, float, float]] = None,
+    fused: bool = False,  # training mega-kernel step (flagship dense config)
 ) -> BarfExperiment:
     dm.setup("fit")
     train_store = sampler.make_ray_store(dm.dataset_train)
@@ -120,7 +121,7 @@ def build_barf_experiment(
         unjitted = lambda s, b, k, *sc: barf_sys.train_step(s, cfg, tx, b, k, *sc)
         step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
     else:
-        step_fn = barf_sys.make_train_step(cfg, tx, donate=True)
+        step_fn = barf_sys.make_train_step(cfg, tx, donate=True, fused=fused)
 
     # NerfMLPConfig has encoders; generic ModelDefs (hash grids, SIREN) don't
     pos_enc = getattr(cfg.radiance, "position_encoder", None)

@@ -71,6 +71,19 @@ def parse_args(argv=None):
     p.add_argument("--blur_kernel_size", type=int, default=81)
     p.add_argument("--blur_relative_sigma_start", type=float, default=0.015)
     p.add_argument("--blur_relative_sigma_decay", type=float, default=0.99)
+    p.add_argument("--camera_adam_eps", type=float, default=None,
+                   help="Adam eps for the camera group; large values make "
+                        "small camera updates gradient-proportional instead "
+                        "of sign-normalized (anti-random-walk)")
+    p.add_argument("--no_interlevel_camera_grads", action="store_true",
+                   default=False,
+                   help="detach the rays in the interlevel-loss branch so "
+                        "the proposal histogram loss cannot push the camera "
+                        "extrinsics (see GarfSystemConfig)")
+    p.add_argument("--fused_kernel", action="store_true", default=False,
+                   help="run the radiance half of the step through the GARF "
+                        "Pallas mega-kernel (ops/garf_megakernel.py; "
+                        "gradient-exact, ~1.2x faster on TPU)")
     common.add_common_args(p)
     p.set_defaults(seed=1337, max_epochs=None)
     return p.parse_args(argv)
@@ -78,11 +91,16 @@ def parse_args(argv=None):
 
 def build(args):
     d = ACTIVATION_DEFAULTS[args.activation]
-    act_factor = args.activation_learning_rate_factor or d["act_lr_factor"]
+    act_factor = (d["act_lr_factor"]
+                  if args.activation_learning_rate_factor is None
+                  else args.activation_learning_rate_factor)
     init_min = d["init_min"] if args.init_min is None else args.init_min
     init_max = d["init_max"] if args.init_max is None else args.init_max
-    cam_lr_start = args.camera_learning_rate_start or d["camera_lr"][0]
-    cam_lr_stop = args.camera_learning_rate_stop or d["camera_lr"][1]
+    # explicit 0.0 must freeze the camera, so no `or`-defaulting here
+    cam_lr_start = (d["camera_lr"][0] if args.camera_learning_rate_start is None
+                    else args.camera_learning_rate_start)
+    cam_lr_stop = (d["camera_lr"][1] if args.camera_learning_rate_stop is None
+                   else args.camera_learning_rate_stop)
     max_epochs = args.max_epochs or d["max_epochs"]
 
     scene = common.resolve_scene(args.scene_path, args.image_size)
@@ -141,6 +159,8 @@ def build(args):
         camera_learning_rate_stop=cam_lr_stop,
         camera_learning_rate_decay_end=epochs_to_steps(args.camera_learning_rate_decay_end),
         scheduler_steps_per_period=max(1, epochs_to_steps(period)) if period else 1,
+        interlevel_camera_grads=not args.no_interlevel_camera_grads,
+        camera_adam_eps=args.camera_adam_eps,
     )
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
@@ -157,7 +177,10 @@ def build(args):
         unjitted = lambda s, b, k: garf_system.train_step(s, cfg, tx, b, k)
         step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
     else:
-        step_fn_raw = garf_system.make_train_step(cfg, tx, donate=True)
+        step_fn_raw = (
+            garf_system.make_train_step_fused(cfg, tx, donate=True)
+            if args.fused_kernel
+            else garf_system.make_train_step(cfg, tx, donate=True))
         step_fn = lambda state, batch, key: step_fn_raw(state, batch, key)
 
     raw = train_store.camera_origins_raw

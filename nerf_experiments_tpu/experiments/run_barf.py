@@ -48,6 +48,10 @@ def parse_args(argv=None):
                    help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
     p.add_argument("--alpha_decay_end_step", type=int, default=100_000)
+    p.add_argument("--fused_kernel", action="store_true", default=False,
+                   help="run the step through the Pallas training "
+                        "mega-kernel (ops/train_megakernel.py; flagship "
+                        "dense config only, gradient-exact)")
     p.add_argument("--image_log_period_epochs", type=float, default=None,
                    help="fixed image-reconstruction log period in epochs "
                         "(default: the reference's 0.002->1/24 taper)")
@@ -132,6 +136,7 @@ def build(args) -> common.BarfExperiment:
         use_wandb=args.wandb, wandb_name=name,
         image_log_names=(["r_1"], ["r_2"]),
         mesh=common.mesh_from_flag(args.mesh),
+        fused=args.fused_kernel,
         image_log_taper=(
             # constant period: (logging_start, delay_start, delay_end, taper)
             (args.image_log_period_epochs,) * 3 + (1.0,)

@@ -24,6 +24,11 @@ class ParamGroup:
     learning_rate_stop: float
     learning_rate_decay_end: int  # in steps; <=0 disables decay
     weight_decay: float = 0.0
+    # None -> optimizer default. A LARGE eps (>> sqrt(v)) makes Adam updates
+    # gradient-proportional (update ~ lr * g / eps) instead of
+    # sign-normalized — used for camera extrinsics, where noise-level
+    # photometric gradients must not turn into LR-sized random steps.
+    adam_eps: float = None
 
 
 def linear_init(key: jax.Array, in_features: int, out_features: int, dtype=jnp.float32):

@@ -18,9 +18,14 @@ Design notes (Mosaic rules from round 1 + this kernel's VMEM lessons):
     reduces its 3L-wide cotangent to (B, 3) with the transposed selector —
     matmuls instead of lane slicing/tiling, which forced per-tile relayouts
     in v1.
-  * ReLU masks are computed ONCE in forward from the fp32 GEMM output
-    (Mosaic cannot compare bf16) and stored at compute width; backward is a
-    pure multiply chain with zero compare/cast passes.
+  * ReLU masks are NOT stored (v3): the backward derives each mask from the
+    stored post-relu activation itself — mask = (h > 0) with h upcast to
+    fp32 for the compare (Mosaic cannot compare bf16). h = cde(max(z, 0))
+    makes the recomputed mask exact: h > 0 iff z rounded to a positive
+    value, and where bf16 rounding flushed a denormal-positive z to +0 the
+    true gradient is itself zero at compute precision. Dropping the masks
+    halves resident activation VMEM, which buys an 8-ray tile (B = 1024
+    sample rows) — half the grid iterations and better GEMM shapes.
   * Static masks are kernel INPUTS, not per-tile iota builds: strict
     lower/upper triangular (S, S) for the compositing prefix/suffix sums,
     and the E (B, T) / F (B, S) row/col selectors for (T, S) <-> row-space
@@ -189,35 +194,34 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         t = (g_sin * mcos.astype(f32) - g_cos * msin.astype(f32)) * fr_ref[:]
         return g_id + fdot(t, sel_ref)              # (B, 3)
 
-    def relu_mask(z):
-        """fp32 pre-activation -> (post-relu at compute width, stored mask).
-        cde(z) * m == cde(max(z, 0)) exactly (m in {0, 1})."""
-        m = (z > 0.0).astype(mdt)
-        return cde(z) * m, m
+    def relu(z):
+        """fp32 pre-activation -> post-relu at compute width.
+        cde(max(z, 0)) == cde(z) * (z > 0) exactly."""
+        return cde(jnp.maximum(z, 0.0))
 
-    # ---- MLP forward, activations + masks kept in VMEM (cd width) ----
+    def mask_of(h):
+        """Recompute the relu mask from the stored activation (f32 compare;
+        Mosaic rejects bf16 compares)."""
+        return (h.astype(f32) > 0.0).astype(mdt)
+
+    # ---- MLP forward, activations kept in VMEM (cd width) ----
     z0 = (mm(pos, W["w0x"]) + mm(mcosP, W["w0c"]) + mm(msinP, W["w0s"])
           + W["b0"][:])
-    h, m = relu_mask(z0)
-    acts1, masks1 = [h], [m]
+    acts1 = [relu(z0)]
     for i in range(1, L):
-        z = mm(h, W[f"w1_{i}"]) + W[f"b1_{i}"][:]
+        z = mm(acts1[-1], W[f"w1_{i}"]) + W[f"b1_{i}"][:]
         # the last entry is the INTER-SEGMENT relu (reference applies relu
         # between segments); its mask gates the grad into segment 1
-        h, m = relu_mask(z)
-        acts1.append(h)
-        masks1.append(m)
+        acts1.append(relu(z))
     zrel = acts1[-1]
 
     z5 = (mm(zrel, W["w5a"]) + mm(pos, W["w5bx"]) + mm(mcosP, W["w5bc"])
           + mm(msinP, W["w5bs"]) + W["b5"][:])
-    s, m = relu_mask(z5)
-    acts2, masks2 = [s], [m]
+    acts2 = [relu(z5)]
     for i in range(L - 2):
-        z = mm(s, W[f"w2_{i}"]) + W[f"b2_{i}"][:]
-        s, m = relu_mask(z)
-        acts2.append(s)
-        masks2.append(m)
+        z = mm(acts2[-1], W[f"w2_{i}"]) + W[f"b2_{i}"][:]
+        acts2.append(relu(z))
+    s = acts2[-1]
 
     Dh = W["whd"].shape[1] - 128
     zhd = mm(s, W["whd"]) + W["bhd"][:]  # (B, Dh+128) f32
@@ -226,7 +230,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
 
     c0_z = (mm(hid, W["wc0a"]) + mm(dirs, W["wc0bx"])
             + mm(mcosD, W["wc0bc"]) + mm(msinD, W["wc0bs"]) + W["bc0"][:])
-    c0, mc0 = relu_mask(c0_z)
+    c0 = relu(c0_z)
     logits = mm(c0, W["wc1"]) + W["bc1"][:]  # (B, 128) f32, cols 0:3 = rgb
     rgb128 = jax.nn.sigmoid(logits)
 
@@ -309,7 +313,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
                 * rgb128 * (1.0 - rgb128))
     accum("wc1", outer(c0, d_logits))
     accum("bc1", bsum(d_logits))
-    g_c0 = mm_t(d_logits, W["wc1"]) * mc0
+    g_c0 = mm_t(d_logits, W["wc1"]) * mask_of(c0)
     accum("wc0a", outer(hid, g_c0))
     accum("wc0bx", outer(dirs, g_c0))
     accum("wc0bc", outer(mcosD, g_c0))
@@ -329,11 +333,11 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     accum("bhd", bsum(g_hd))
     g = mm_t(g_hd, W["whd"])                      # grad wrt s (post-relu)
     for li in range(L - 3, -1, -1):
-        g = g * masks2[li + 1]
+        g = g * mask_of(acts2[li + 1])
         accum(f"w2_{li}", outer(acts2[li], g))
         accum(f"b2_{li}", bsum(g))
         g = mm_t(g, W[f"w2_{li}"])
-    g = g * masks2[0]
+    g = g * mask_of(acts2[0])
     accum("w5a", outer(zrel, g))
     accum("w5bx", outer(pos, g))
     accum("w5bc", outer(mcosP, g))
@@ -342,13 +346,13 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     g_id_p = mm_t(g, W["w5bx"])
     g_cos_p = mm_t(g, W["w5bc"])
     g_sin_p = mm_t(g, W["w5bs"])
-    g = mm_t(g, W["w5a"]) * masks1[L - 1]         # inter-segment relu
+    g = mm_t(g, W["w5a"]) * mask_of(acts1[L - 1])  # inter-segment relu
 
     # ---- segment 1 backward ----
     for li in range(L - 1, 0, -1):
         accum(f"w1_{li}", outer(acts1[li - 1], g))
         accum(f"b1_{li}", bsum(g))
-        g = mm_t(g, W[f"w1_{li}"]) * masks1[li - 1]
+        g = mm_t(g, W[f"w1_{li}"]) * mask_of(acts1[li - 1])
     accum("w0x", outer(pos, g))
     accum("w0c", outer(mcosP, g))
     accum("w0s", outer(msinP, g))
@@ -483,7 +487,10 @@ def flagship_train_grads(
 
     n, S = t_start.shape
     cd = cfg.compute_dtype
-    tile = tile_rays or max(1, 512 // S)
+    import os as _os
+
+    default_rows = int(_os.environ.get("NETPU_TRAIN_TILE_ROWS", 1024))
+    tile = tile_rays or max(1, default_rows // S)
     pad = (-n) % tile
     valid = jnp.ones((n, 1), jnp.float32)
     if pad:

@@ -47,10 +47,24 @@ class GarfSystemConfig:
     camera_learning_rate_stop: float = 1e-5
     camera_learning_rate_decay_end: int = 10_000
     optimize_camera: bool = True
+    # Adam eps for the camera group only. The reference default (1e-8,
+    # sign-normalized updates) random-walks the extrinsics while camera
+    # gradients are still noise-level (measured: cameras drift AWAY from a
+    # perfect init at zero pose noise). A large eps makes small-gradient
+    # updates gradient-proportional; None keeps the optimizer default.
+    camera_adam_eps: float = None
 
     # gaborf steps its schedulers only at epoch-fraction milestones
     # (`gaborf/model_gaborf.py:284-303`); 1 = per-step (garf/sarf)
     scheduler_steps_per_period: int = 1
+
+    # Let the interlevel (proposal) loss backpropagate into the camera
+    # extrinsics. True = reference semantics (`barf/model_garf.py:124-156`
+    # closures do not detach rays, so nerfacc's prop loss reaches the
+    # cameras). False detaches the rays in the interlevel branch only —
+    # the proposal-histogram-matching gradient carries no pose-alignment
+    # information and was measured to destabilize joint calibration.
+    interlevel_camera_grads: bool = True
 
     @property
     def prop_cfg(self) -> garf.GarfConfig:
@@ -62,6 +76,7 @@ class GarfSystemConfig:
             self.camera_learning_rate_start,
             self.camera_learning_rate_stop,
             self.camera_learning_rate_decay_end,
+            adam_eps=self.camera_adam_eps,
         )
 
 
@@ -136,8 +151,17 @@ def forward(
         tm = (ts + te)[..., None] / 2.0
         return ray_origs[:, None] + ray_dirs[:, None] * tm
 
+    # the sampled t edges are stop-gradded inside proposal.sampling, so the
+    # only camera-gradient path out of the estimator is the aux histograms;
+    # detach the rays in the proposal closure when configured off
+    o_il = (ray_origs if cfg.interlevel_camera_grads
+            else jax.lax.stop_gradient(ray_origs))
+    d_il = (ray_dirs if cfg.interlevel_camera_grads
+            else jax.lax.stop_gradient(ray_dirs))
+
     def prop_sigma_fn(ts, te):
-        pos = positions(ts, te).reshape(-1, 3)
+        tm = (ts + te)[..., None] / 2.0
+        pos = (o_il[:, None] + d_il[:, None] * tm).reshape(-1, 3)
         return garf.proposal_apply(params["proposal"], cfg.prop_cfg, pos).reshape(ts.shape)
 
     t_starts, t_ends, aux = proposal.sampling(
@@ -284,6 +308,9 @@ def train_step_fused(
     ploss, (g_prop, g_origs_il, g_dirs_il) = jax.value_and_grad(
         interlevel, argnums=(0, 1, 2))(
             state.params["proposal"], origs, dirs)
+    if not cfg.interlevel_camera_grads:
+        g_origs_il = jnp.zeros_like(g_origs_il)
+        g_dirs_il = jnp.zeros_like(g_dirs_il)
     (g_cam,) = tvjp((d_origs + g_origs_il, d_dirs + g_dirs_il))
 
     grads = {"proposal": g_prop, "radiance": grads_rad, "camera": g_cam}

@@ -52,7 +52,8 @@ def multi_group_adam(
     transforms = {}
     for label, g in groups.items():
         sched = scheds[label]
-        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=eps)]
+        g_eps = eps if g.adam_eps is None else g.adam_eps
+        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=g_eps)]
         if g.weight_decay:
             chain.append(optax.add_decayed_weights(g.weight_decay))
         chain.append(optax.scale_by_schedule(lambda s, _f=sched: -_f(s)))

@@ -144,6 +144,29 @@ class TestHashGrid:
         np.testing.assert_allclose(np.asarray(out[0]),
                                    np.asarray(params["table"][0, idx]), atol=1e-6)
 
+    def test_encode_fused_matches_encode(self):
+        # encode_fused (one global gather + sorted segment-sum VJP) must be
+        # bit-identical to the per-level reference path, fwd and bwd.
+        for dim in (2, 3):
+            cfg = hashgrid.HashGridConfig(
+                dim=dim, resolution_min=4, resolution_max=64,
+                table_size=2**12, n_features=2, n_levels=6)
+            params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+            x = jax.random.uniform(jax.random.PRNGKey(1), (257, dim))
+            a = hashgrid.encode(params, cfg, x)
+            b = hashgrid.encode_fused(params, cfg, x)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+            def loss(enc, p, xx):
+                return (enc(p, cfg, xx) ** 2).sum()
+
+            ga, gxa = jax.grad(loss, argnums=(1, 2))(hashgrid.encode, params, x)
+            gb, gxb = jax.grad(loss, argnums=(1, 2))(hashgrid.encode_fused, params, x)
+            np.testing.assert_allclose(np.asarray(ga["table"]),
+                                       np.asarray(gb["table"]), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
+                                       atol=1e-5)
+
     def test_interpolation_is_multilinear(self):
         # Numpy cross-check of the corner-weight formula
         # (`2d-ingp/test_interpolation.py` parity).
