@@ -151,6 +151,12 @@ class BarfConfig:
     camera_learning_rate_start: float = 1e-3
     camera_learning_rate_stop: float = 1e-5
     camera_learning_rate_decay_end: int = 200_000
+    # None -> reference Adam eps for the camera too. A large value (e.g.
+    # 1e-2) makes small camera updates gradient-proportional, suppressing
+    # the Adam random walk measured in the GARF study (RESULTS.md); BARF's
+    # annealed encodings give strong early camera gradients so the
+    # reference default already converges, but the knob is shared.
+    camera_adam_eps: Optional[float] = None
 
     max_gaussian_sigma: float = 0.0
     gaussian_blur_sigmas: Tuple[float, ...] = (0.0, 0.0)
@@ -170,6 +176,7 @@ class BarfConfig:
             self.camera_learning_rate_start,
             self.camera_learning_rate_stop,
             self.camera_learning_rate_decay_end,
+            adam_eps=self.camera_adam_eps,
         )
 
 

@@ -291,23 +291,23 @@ def train_step_fused(
             key=key,
         )
 
-    t_starts, t_ends, _ = jax.lax.stop_gradient(
-        sample_bins(state.params["proposal"], origs, dirs))
+    # ONE proposal/estimator forward, with its linearization captured: the
+    # t edges feed the radiance kernel (zero cotangent = the stop-grad the
+    # two-pass version applied), and the aux histograms carry the
+    # interlevel-loss gradient back through the same vjp — no recompute.
+    (t_starts, t_ends, aux), sample_vjp = jax.vjp(
+        sample_bins, state.params["proposal"], origs, dirs)
 
     targets = batch["colors"][:, -1]
     rgb, weights, grads_rad, d_origs, d_dirs = garf_radiance_train_grads(
         state.params["radiance"], cfg.net, origs, dirs,
-        t_starts, t_ends, targets)
+        jax.lax.stop_gradient(t_starts), jax.lax.stop_gradient(t_ends),
+        targets)
 
-    def interlevel(prop_params, origs_, dirs_):
-        # same key => bit-identical stratified bins; the proposal branch is
-        # ~3% of the radiance FLOPs, so the recompute is cheap
-        _, _, aux = sample_bins(prop_params, origs_, dirs_)
-        return proposal.compute_loss(aux, weights)
-
-    ploss, (g_prop, g_origs_il, g_dirs_il) = jax.value_and_grad(
-        interlevel, argnums=(0, 1, 2))(
-            state.params["proposal"], origs, dirs)
+    ploss, d_aux = jax.value_and_grad(
+        lambda a: proposal.compute_loss(a, weights))(aux)
+    g_prop, g_origs_il, g_dirs_il = sample_vjp(
+        (jnp.zeros_like(t_starts), jnp.zeros_like(t_ends), d_aux))
     if not cfg.interlevel_camera_grads:
         g_origs_il = jnp.zeros_like(g_origs_il)
         g_dirs_il = jnp.zeros_like(g_dirs_il)
