@@ -362,9 +362,12 @@ def garf_radiance_train_grads(
         except RuntimeError:
             interpret = True
 
+    import os as _os
+
     n, S = t_start.shape
     cd = cfg.compute_dtype
-    tile = tile_rays or max(1, 512 // S)
+    default_rows = int(_os.environ.get("NETPU_GARF_TILE_ROWS", 512))
+    tile = tile_rays or max(1, default_rows // S)
     pad = (-n) % tile
     valid = jnp.ones((n, 1), jnp.float32)
     if pad:
