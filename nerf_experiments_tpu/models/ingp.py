@@ -44,7 +44,7 @@ def gigapixel_init(key: jax.Array, cfg: GigapixelConfig) -> Dict:
 
 def gigapixel_apply(params: Dict, cfg: GigapixelConfig, pos: jnp.ndarray) -> jnp.ndarray:
     """pos (B, 2) in [0,1]^2 -> rgb (B, 3)."""
-    h = hashgrid.encode_fused(params["grid"], cfg.grid, pos)
+    h = hashgrid.encode_fused(params["grid"], cfg.grid, pos, cfg.compute_dtype)
     for i, layer in enumerate(params["layers"]):
         h = linear_apply(layer, h, cfg.compute_dtype)
         if i < len(params["layers"]) - 1:
@@ -86,7 +86,7 @@ def nerf_ingp_apply(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(density, rgb), matching `NerfModelINGP.forward:184-193`."""
     x = pos / cfg.pos_normalization_scale + 0.5
-    h = hashgrid.encode_fused(params["grid"], cfg.grid, jnp.clip(x, 0.0, 1.0 - 1e-6))
+    h = hashgrid.encode_fused(params["grid"], cfg.grid, jnp.clip(x, 0.0, 1.0 - 1e-6), cfg.compute_dtype)
     for i, layer in enumerate(params["density"]):
         h = linear_apply(layer, h, cfg.compute_dtype)
         if i < len(params["density"]) - 1:

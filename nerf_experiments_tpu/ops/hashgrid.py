@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -123,47 +124,73 @@ def encode(params: Dict, cfg: HashGridConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------------ fused
-# TPU fast path. Two changes vs `encode`:
+# TPU fast path. Measured on v5e at the 3-D bench workload (262,144 points,
+# 16 levels, scripts/probe_ingp.py):
 #   * ONE flattened gather across all levels (global row = l*T + idx_l)
-#     instead of L separate gathers — one big vectorized dynamic-gather.
-#   * custom-VJP backward: XLA's native VJP of a gather is a scatter-add,
-#     which serializes under index collisions (the low-res levels hit the
-#     same few thousand rows ~500x each -> measured ~100x slowdown of the
-#     train step). We instead sort the indices once and segment-sum the
-#     contributions — collision-free accumulation.
-@jax.custom_vjp
-def _gather_interp(flat_table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray):
-    """flat_table (M, F), idx (R, C) int32, w (R, C) -> (R, F)."""
-    F = flat_table.shape[-1]
-    feats = flat_table[idx.reshape(-1)].reshape(idx.shape + (F,))
-    return jnp.sum(feats * w[..., None].astype(flat_table.dtype), axis=-2)
+#     instead of L separate gathers: fwd 359 -> 223 ms.
+#   * gather from a bf16 view of the table: TPU dynamic-gather throughput
+#     scales with row bytes moved (fp32 fwd 359 ms, bf16 101 ms).
+#   * backward stays XLA's scatter-add but accumulates in fp32 regardless
+#     of gather dtype. (A sort + segment_sum backward was tried and is 4x
+#     WORSE — a 33M-element argsort costs more than the collisions.)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_interp(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                   gather_dtype=None):
+    """table (L, T, F), idx (L, B, C) int32 LOCAL per-level rows,
+    w (L, B, C) -> (L, B, F) fp32.
+
+    Forward: L per-level gathers at `gather_dtype` — a level's bf16 table
+    slice is 256 KB, small enough that the gather runs out of fast memory
+    (measured 101 ms vs 213 ms for one global (L*T, F) gather at the 3-D
+    bench workload). Backward: L per-level fp32 scatter-adds — a single
+    global scatter was measured ~4x slower still."""
+    L, T, F = table.shape
+    t = table if gather_dtype is None else table.astype(gather_dtype)
+    feats = jnp.stack([
+        t[l][idx[l].reshape(-1)].reshape(idx.shape[1:] + (F,))
+        for l in range(L)
+    ])
+    return jnp.sum(
+        feats.astype(jnp.float32) * w[..., None].astype(jnp.float32), axis=-2)
 
 
-def _gather_interp_fwd(t, idx, w):
-    return _gather_interp(t, idx, w), (t, idx, w)
+def _gather_interp_fwd(t, idx, w, gather_dtype):
+    return _gather_interp(t, idx, w, gather_dtype), (t, idx, w)
 
 
-def _gather_interp_bwd(res, g):
+def _gather_interp_bwd(gather_dtype, res, g):
     t, idx, w = res
-    M, F = t.shape
-    flat_idx = idx.reshape(-1)
-    contrib = (w[..., None] * g[..., None, :]).reshape(-1, F)
-    order = jnp.argsort(flat_idx)
-    dt = jax.ops.segment_sum(
-        contrib[order], flat_idx[order], num_segments=M,
-        indices_are_sorted=True,
-    )
-    feats = t[flat_idx].reshape(idx.shape + (F,))
-    dw = jnp.sum(feats.astype(g.dtype) * g[..., None, :], axis=-1)
+    L, T, F = t.shape
+    contrib = (w[..., None].astype(jnp.float32)
+               * g[:, :, None, :].astype(jnp.float32))    # (L, B, C, F)
+    dt = jnp.stack([
+        jnp.zeros((T, F), jnp.float32).at[idx[l].reshape(-1)].add(
+            contrib[l].reshape(-1, F))
+        for l in range(L)
+    ])
+    tg = t if gather_dtype is None else t.astype(gather_dtype)
+    feats = jnp.stack([
+        tg[l][idx[l].reshape(-1)].reshape(idx.shape[1:] + (F,))
+        for l in range(L)
+    ])
+    dw = jnp.sum(
+        feats.astype(jnp.float32) * g[:, :, None, :].astype(jnp.float32),
+        axis=-1).astype(w.dtype)
     return dt.astype(t.dtype), None, dw
 
 
 _gather_interp.defvjp(_gather_interp_fwd, _gather_interp_bwd)
 
 
-def encode_fused(params: Dict, cfg: HashGridConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """`encode` semantics (bit-identical forward math) via one global gather
-    + sorted segment-sum backward. Preferred on TPU."""
+def encode_fused(
+    params: Dict,
+    cfg: HashGridConfig,
+    x: jnp.ndarray,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """`encode` semantics via one global gather. With gather_dtype=bf16 the
+    gather moves half the bytes (3.5x faster on TPU); the table parameter
+    and its gradient stay fp32 (the cast is elementwise and cheap)."""
     table = params["table"]  # (L, T, F)
     L, T, F = table.shape
     offsets = _corner_offsets(cfg.dim)
@@ -172,14 +199,10 @@ def encode_fused(params: Dict, cfg: HashGridConfig, x: jnp.ndarray) -> jnp.ndarr
         xs = x * res
         xf = jnp.floor(xs)
         corners = xf[:, None, :].astype(jnp.int32) + offsets[None, :, :]
-        idx_all.append(_level_indices(corners, res, cfg) + l * T)
+        idx_all.append(_level_indices(corners, res, cfg))  # LOCAL rows
         xd = jnp.abs(xs[:, None, :] - corners.astype(x.dtype))
         w_all.append(jnp.prod(1.0 - xd, axis=-1))
-    idx = jnp.concatenate(idx_all, axis=-1)   # (B, L*2^d)
-    w = jnp.concatenate(w_all, axis=-1)
-    out = _gather_interp(
-        table.reshape(L * T, F),
-        idx.reshape(-1, offsets.shape[0]),    # (B*L, 2^d) grouped per level
-        w.reshape(-1, offsets.shape[0]),
-    )                                          # (B*L, F)
-    return out.reshape(x.shape[0], L * F)
+    idx = jnp.stack(idx_all)                  # (L, B, 2^d)
+    w = jnp.stack(w_all)
+    out = _gather_interp(table, idx, w, gather_dtype)      # (L, B, F) fp32
+    return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)
