@@ -116,6 +116,69 @@ class TestGarfSystem:
             assert np.isfinite(losses[-1])
         assert losses[-1] < losses[0]
 
+    def test_interlevel_camera_detach(self):
+        # Detaching the interlevel-loss ray dependence must leave the loss
+        # VALUE unchanged while changing only the camera gradient; proposal
+        # and radiance gradients are identical either way.
+        import dataclasses
+
+        cfg_on = self._cfg()
+        cfg_off = dataclasses.replace(cfg_on, interlevel_camera_grads=False)
+        state = garf_system.init(jax.random.PRNGKey(0), cfg_on)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        key = jax.random.PRNGKey(2)
+
+        def lg(cfg):
+            (loss, _), grads = jax.value_and_grad(
+                garf_system.loss_fn, has_aux=True)(
+                    state.params, cfg, batch, key, True)
+            return float(loss), grads
+
+        loss_on, g_on = lg(cfg_on)
+        loss_off, g_off = lg(cfg_off)
+        assert loss_on == loss_off
+        for sub in ("proposal", "radiance"):
+            a = jax.tree_util.tree_leaves(g_on[sub])
+            b = jax.tree_util.tree_leaves(g_off[sub])
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        diff = sum(
+            float(jnp.abs(x - y).sum())
+            for x, y in zip(jax.tree_util.tree_leaves(g_on["camera"]),
+                            jax.tree_util.tree_leaves(g_off["camera"])))
+        assert diff > 0.0
+
+    def test_camera_adam_eps_group(self):
+        # camera_adam_eps must reach the camera group and ONLY the camera
+        # group: with a huge eps the camera update shrinks ~proportionally
+        # while net updates are unchanged.
+        import dataclasses
+
+        cfg = self._cfg()
+        cfg_eps = dataclasses.replace(cfg, camera_adam_eps=1e3,
+                                      camera_learning_rate_start=1e-4)
+        cfg_ref = dataclasses.replace(cfg, camera_learning_rate_start=1e-4)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+
+        def one_step(c):
+            state = garf_system.init(jax.random.PRNGKey(0), c)
+            tx = garf_system.make_optimizer(c, state.params)
+            step = garf_system.make_train_step(c, tx, donate=False)
+            new, _ = step(state, batch, jax.random.PRNGKey(3))
+            return state, new
+
+        s0a, s1a = one_step(cfg_ref)
+        s0b, s1b = one_step(cfg_eps)
+        cam_move_ref = float(jnp.abs(
+            s1a.params["camera"]["rotation"] - s0a.params["camera"]["rotation"]).max())
+        cam_move_eps = float(jnp.abs(
+            s1b.params["camera"]["rotation"] - s0b.params["camera"]["rotation"]).max())
+        assert cam_move_eps < cam_move_ref * 1e-2
+        rad_a = jax.tree_util.tree_leaves(s1a.params["radiance"])
+        rad_b = jax.tree_util.tree_leaves(s1b.params["radiance"])
+        for x, y in zip(rad_a, rad_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_forward_deterministic_in_eval(self):
         cfg = self._cfg()
         state = garf_system.init(jax.random.PRNGKey(0), cfg)
