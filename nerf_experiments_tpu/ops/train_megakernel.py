@@ -10,14 +10,15 @@ no recompute — so total MXU work is the true 3x-forward roofline.
 
 Design notes (Mosaic rules from round 1 + this kernel's VMEM lessons):
 
-  * NO unaligned concats anywhere in the kernel (v2). The BARF encoding
-    [x, m*cos, m*sin] (63/27 lanes) is never materialized: the trig args
-    come from one (B, 3) @ (3, 3L) selector matmul (host-built constant),
-    and every consumer of the encoding evaluates split GEMMs summed into the
-    same fp32 accumulator (x@Wx + mcos@Wc + msin@Ws). The encoding backward
-    reduces its 3L-wide cotangent to (B, 3) with the transposed selector —
-    matmuls instead of lane slicing/tiling, which forced per-tile relayouts
-    in v1.
+  * Padded-E encodings (v4). The BARF encoding [x, m*cos, m*sin] lives in
+    ONE native (B, 128) buffer: A = x @ K128 (identity + duplicated freq
+    selector columns, host-built), E = xm*A + mc*cos(A) + ms*sin(A) with
+    (1, 128) column masks (the BARF window folded in). Every consumer is a
+    single K=128 GEMM against 128-row padded weights, and the encoding
+    backward is one elementwise chain + dA @ K128^T. v2/v3 used three
+    split tiny-K dots per consumer (x@Wx + mcos@Wc + msin@Ws) — each
+    K=3/30 dot still costs a full MXU pass, ~35% extra passes overall
+    (measured: bare 11-GEMM chain runs 56% MFU, v3 forward ran ~30%).
   * ReLU masks are NOT stored (v3): the backward derives each mask from the
     stored post-relu activation itself — mask = (h > 0) with h upcast to
     fp32 for the compare (Mosaic cannot compare bf16). h = cde(max(z, 0))
@@ -85,34 +86,71 @@ def _weight_names(n_hidden: int) -> list:
     """Flat weight/bias order shared by _flatten_weights, the kernel, and
     _unflatten_grads. L = n_hidden + 1 layers per segment."""
     L = n_hidden + 1
-    names = ["w0x", "w0c", "w0s", "b0"]
+    names = ["w0", "b0"]
     for i in range(1, L):
         names += [f"w1_{i}", f"b1_{i}"]
-    names += ["w5a", "w5bx", "w5bc", "w5bs", "b5"]
+    names += ["w5a", "w5b", "b5"]
     for i in range(L - 2):
         names += [f"w2_{i}", f"b2_{i}"]
-    names += ["whd", "bhd", "wc0a", "wc0bx", "wc0bc", "wc0bs", "bc0",
-              "wc1", "bc1"]
+    names += ["whd", "bhd", "wc0a", "wc0b", "bc0", "wc1", "bc1"]
     return names
 
 
-def _enc_tables(levels: int, scale: float):
-    """Host-built encoding constants: K (3, 3L) arg-selector, SEL (3L, 3)
-    backward reducer, FR (1, 3L) freq row, KIDX (1, 3L) level index row."""
-    j = np.arange(3 * levels)
-    freq = scale * (2.0 ** (j % levels)).astype(np.float32)
-    sel = (j // levels)[:, None] == np.arange(3)[None, :]
-    sel = sel.astype(np.float32)                       # (3L, 3)
-    k_mat = (sel * freq[:, None]).T                    # (3, 3L)
-    fr = freq[None, :]                                 # (1, 3L)
-    kidx = (j % levels)[None, :].astype(np.float32)    # (1, 3L)
-    return (jnp.asarray(k_mat), jnp.asarray(sel), jnp.asarray(fr),
-            jnp.asarray(kidx))
+def _enc_tables(levels_pos: int, scale_pos: float,
+                levels_dir: int, scale_dir: float):
+    """Host-built COMBINED padded-E encoding constants (v4.1).
+
+    Both encoders live in ONE (B, 128) buffer:
+      cols [0:3]                       pos identity
+      cols [3 : 3+3Lp]                 pos cos block
+      cols [3+3Lp : 3+6Lp]             pos sin block (same trig args)
+      cols [off : off+3]               dir identity   (off = 3+6Lp)
+      cols [off+3 : off+3+3Ld]         dir cos block
+      cols [off+3+3Ld : off+3+6Ld]     dir sin block
+    A = rays[:, 0:6] @ K (K (6, 128): pos rows feed pos cols, dir rows dir
+    cols) — ONE MXU pass and ONE cos / ONE sin VPU pass build everything.
+
+    Returns K (6,128); MASKS (5,128): rows = identity / cos / sin column
+    selectors + pos-alpha / dir-alpha column selectors; KX (1,128): BARF
+    level index per trig column."""
+    Lp3, Ld3 = 3 * levels_pos, 3 * levels_dir
+    off = 3 + 2 * Lp3
+    assert off + 3 + 2 * Ld3 <= 128, "combined-E needs Lp+Ld <= 20"
+
+    def blocks(levels, scale):
+        j = np.arange(3 * levels)
+        freq = scale * (2.0 ** (j % levels)).astype(np.float32)
+        sel = ((j // levels)[:, None] == np.arange(3)[None, :]).astype(np.float32)
+        return (sel * freq[:, None]).T, (j % levels).astype(np.float32)
+
+    kp, kxp = blocks(levels_pos, scale_pos)
+    kd, kxd = blocks(levels_dir, scale_dir)
+    k = np.zeros((6, 128), np.float32)
+    k[0:3, 0:3] = np.eye(3, dtype=np.float32)
+    k[0:3, 3:3 + Lp3] = kp
+    k[0:3, 3 + Lp3:3 + 2 * Lp3] = kp
+    k[3:6, off:off + 3] = np.eye(3, dtype=np.float32)
+    k[3:6, off + 3:off + 3 + Ld3] = kd
+    k[3:6, off + 3 + Ld3:off + 3 + 2 * Ld3] = kd
+    masks = np.zeros((5, 128), np.float32)
+    masks[0, 0:3] = 1.0
+    masks[0, off:off + 3] = 1.0
+    masks[1, 3:3 + Lp3] = 1.0
+    masks[1, off + 3:off + 3 + Ld3] = 1.0
+    masks[2, 3 + Lp3:3 + 2 * Lp3] = 1.0
+    masks[2, off + 3 + Ld3:off + 3 + 2 * Ld3] = 1.0
+    masks[3, 3:3 + 2 * Lp3] = 1.0               # pos-alpha columns
+    masks[4, off + 3:off + 3 + 2 * Ld3] = 1.0   # dir-alpha columns
+    kx = np.zeros((1, 128), np.float32)
+    kx[0, 3:3 + Lp3] = kxp
+    kx[0, 3 + Lp3:3 + 2 * Lp3] = kxp
+    kx[0, off + 3:off + 3 + Ld3] = kxd
+    kx[0, off + 3 + Ld3:off + 3 + 2 * Ld3] = kxd
+    return jnp.asarray(k), jnp.asarray(masks), jnp.asarray(kx)
 
 
 def _kernel(static, rays_ref, apos_ref, adir_ref,
-            kp_ref, selp_ref, frp_ref, kxp_ref,
-            kd_ref, seld_ref, frd_ref, kxd_ref,
+            k_ref, m_ref, kx_ref,
             lt_ref, ut_ref, e_ref, f_ref, *refs):
     (S, dscale, inv_n3, cd, n_hidden, fwd_only) = static
     f32 = jnp.float32
@@ -156,6 +194,12 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
             a, b_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=HIGHEST)
 
+    def fdot_t(a, b_ref):
+        """a @ const^T at full fp32 precision (encoding backward)."""
+        return jax.lax.dot_general(
+            a, b_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=HIGHEST)
+
     def accum(name, val):
         ref = Dref[name]
 
@@ -178,21 +222,23 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     a_pos = apos_ref[0, 0]
     a_dir = adir_ref[0, 0]
 
-    # ---- encodings (forward): masked trig features, no concat ----
-    def enc(x, k_ref, kx_ref, a):
-        args = fdot(x, k_ref)                       # (B, 3L) fp32
-        ramp = jnp.clip(a - kx_ref[:], 0.0, 1.0)
-        m3 = (1.0 - jnp.cos(ramp * jnp.pi)) / 2.0   # (1, 3L) BARF window
-        return cde(m3 * jnp.cos(args)), cde(m3 * jnp.sin(args))
+    # ---- encodings (forward): COMBINED padded-E layout (v4.1) ----
+    # Both encoders in one (B, 128) buffer: A = [pos|dirs] @ K, then
+    # E = xm*A + mc*cos(A) + ms*sin(A) — one MXU pass, one cos, one sin.
+    A = fdot(rays[:, 0:6], k_ref)                   # (B, 128) fp32
+    a_cols = m_ref[3:4] * a_pos + m_ref[4:5] * a_dir  # (1, 128)
+    ramp = jnp.clip(a_cols - kx_ref[:], 0.0, 1.0)
+    m3 = (1.0 - jnp.cos(ramp * jnp.pi)) / 2.0       # (1, 128) BARF window
+    xm = m_ref[0:1]
+    mc = m3 * m_ref[1:2]
+    ms = m3 * m_ref[2:3]
+    E = cde(xm * A + mc * jnp.cos(A) + ms * jnp.sin(A))
 
-    mcosP, msinP = enc(pos, kp_ref, kxp_ref, a_pos)
-    mcosD, msinD = enc(dirs, kd_ref, kxd_ref, a_dir)
-
-    def enc_bwd(g_id, g_cos, g_sin, mcos, msin, fr_ref, sel_ref):
-        # d(m cos a)/dx = -m sin(a) f, d(m sin a)/dx = m cos(a) f; the mask
-        # is already folded into the stored features.
-        t = (g_sin * mcos.astype(f32) - g_cos * msin.astype(f32)) * fr_ref[:]
-        return g_id + fdot(t, sel_ref)              # (B, 3)
+    def enc_bwd(gE):
+        # dE/dA = xm - mc sin(A) + ms cos(A) (elementwise);
+        # d[pos|dirs] = dA @ K^T  -> (B, 6)
+        dA = gE * (xm - mc * jnp.sin(A) + ms * jnp.cos(A))
+        return fdot_t(dA, k_ref)                    # (B, 6)
 
     def relu(z):
         """fp32 pre-activation -> post-relu at compute width.
@@ -205,8 +251,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         return (h.astype(f32) > 0.0).astype(mdt)
 
     # ---- MLP forward, activations kept in VMEM (cd width) ----
-    z0 = (mm(pos, W["w0x"]) + mm(mcosP, W["w0c"]) + mm(msinP, W["w0s"])
-          + W["b0"][:])
+    z0 = mm(E, W["w0"]) + W["b0"][:]
     acts1 = [relu(z0)]
     for i in range(1, L):
         z = mm(acts1[-1], W[f"w1_{i}"]) + W[f"b1_{i}"][:]
@@ -215,8 +260,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         acts1.append(relu(z))
     zrel = acts1[-1]
 
-    z5 = (mm(zrel, W["w5a"]) + mm(pos, W["w5bx"]) + mm(mcosP, W["w5bc"])
-          + mm(msinP, W["w5bs"]) + W["b5"][:])
+    z5 = mm(zrel, W["w5a"]) + mm(E, W["w5b"]) + W["b5"][:]
     acts2 = [relu(z5)]
     for i in range(L - 2):
         z = mm(acts2[-1], W[f"w2_{i}"]) + W[f"b2_{i}"][:]
@@ -228,8 +272,7 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     hid = cde(zhd[:, :Dh])               # raw segment output (no relu)
     dens128 = zhd[:, Dh:]                # (B, 128) f32, col 0 = density_raw
 
-    c0_z = (mm(hid, W["wc0a"]) + mm(dirs, W["wc0bx"])
-            + mm(mcosD, W["wc0bc"]) + mm(msinD, W["wc0bs"]) + W["bc0"][:])
+    c0_z = mm(hid, W["wc0a"]) + mm(E, W["wc0b"]) + W["bc0"][:]
     c0 = relu(c0_z)
     logits = mm(c0, W["wc1"]) + W["bc1"][:]  # (B, 128) f32, cols 0:3 = rgb
     rgb128 = jax.nn.sigmoid(logits)
@@ -237,8 +280,12 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     if fwd_only == 2:  # bisect probe: MLP+encodings only, no compositing
         out_rows_ref[:] = jnp.concatenate(
             [rgb128[:, :3], dens128[:, :3], jnp.zeros((B, 10), f32)], axis=-1)
-        for nm in names:
-            accum(nm, jnp.zeros(Dref[nm].shape, f32))
+        # only tile 0 zeroes the dW outputs: the revisited-block RMW
+        # traffic would otherwise distort the probe (~0.7 ms at 128 tiles)
+        @pl.when(first)
+        def _():
+            for nm in names:
+                Dref[nm][:] = jnp.zeros(Dref[nm].shape, f32)
         return
 
     # ---- per-sample scalars -> (T, S) planes (one VMEM tile each) ----
@@ -298,8 +345,10 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         out_rows_ref[:] = jnp.concatenate(
             [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),
              ts_to_rows(g_w), jnp.zeros((B, 12), f32)], axis=-1)
-        for nm in names:
-            accum(nm, jnp.zeros(Dref[nm].shape, f32))
+        @pl.when(first)
+        def _():
+            for nm in names:
+                Dref[nm][:] = jnp.zeros(Dref[nm].shape, f32)
         return
 
     w_row = ts_to_rows(w_ts)                      # (B, 1)
@@ -315,14 +364,10 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     accum("bc1", bsum(d_logits))
     g_c0 = mm_t(d_logits, W["wc1"]) * mask_of(c0)
     accum("wc0a", outer(hid, g_c0))
-    accum("wc0bx", outer(dirs, g_c0))
-    accum("wc0bc", outer(mcosD, g_c0))
-    accum("wc0bs", outer(msinD, g_c0))
+    accum("wc0b", outer(E, g_c0))
     accum("bc0", bsum(g_c0))
     g_hid = mm_t(g_c0, W["wc0a"])                 # (B, Dh) f32 (no relu)
-    d_dirs_rep = enc_bwd(
-        mm_t(g_c0, W["wc0bx"]), mm_t(g_c0, W["wc0bc"]),
-        mm_t(g_c0, W["wc0bs"]), mcosD, msinD, frd_ref, seld_ref)
+    g_E = mm_t(g_c0, W["wc0b"])                   # (B, 128) enc cotangent
 
     d_dens128 = jnp.concatenate(
         [d_dens_row, jnp.zeros((B, 127), f32)], axis=-1)
@@ -339,13 +384,9 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         g = mm_t(g, W[f"w2_{li}"])
     g = g * mask_of(acts2[0])
     accum("w5a", outer(zrel, g))
-    accum("w5bx", outer(pos, g))
-    accum("w5bc", outer(mcosP, g))
-    accum("w5bs", outer(msinP, g))
+    accum("w5b", outer(E, g))
     accum("b5", bsum(g))
-    g_id_p = mm_t(g, W["w5bx"])
-    g_cos_p = mm_t(g, W["w5bc"])
-    g_sin_p = mm_t(g, W["w5bs"])
+    g_E = g_E + mm_t(g, W["w5b"])
     g = mm_t(g, W["w5a"]) * mask_of(acts1[L - 1])  # inter-segment relu
 
     # ---- segment 1 backward ----
@@ -353,16 +394,14 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
         accum(f"w1_{li}", outer(acts1[li - 1], g))
         accum(f"b1_{li}", bsum(g))
         g = mm_t(g, W[f"w1_{li}"]) * mask_of(acts1[li - 1])
-    accum("w0x", outer(pos, g))
-    accum("w0c", outer(mcosP, g))
-    accum("w0s", outer(msinP, g))
+    accum("w0", outer(E, g))
     accum("b0", bsum(g))
-    g_id_p = g_id_p + mm_t(g, W["w0x"])
-    g_cos_p = g_cos_p + mm_t(g, W["w0c"])
-    g_sin_p = g_sin_p + mm_t(g, W["w0s"])
+    g_E = g_E + mm_t(g, W["w0"])
 
     # ---- encoding backward -> per-row geometry grads ----
-    d_pos = enc_bwd(g_id_p, g_cos_p, g_sin_p, mcosP, msinP, frp_ref, selp_ref)
+    dxd = enc_bwd(g_E)                            # (B, 6) = [d_pos, d_dirs]
+    d_pos = dxd[:, 0:3]
+    d_dirs_rep = dxd[:, 3:6]
     wrgb = jnp.concatenate(
         [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),       # per-ray rgb
          d_pos, d_dirs_rep, jnp.zeros((B, 7), f32)], axis=-1)
@@ -389,18 +428,19 @@ def _flatten_weights(params: Dict, cfg, cd) -> list:
     wcast = (lambda w: w.astype(cd)) if cd is not None else (lambda w: w)
     b2d = lambda b: b.astype(jnp.float32).reshape(1, -1)
 
-    def split_enc_rows(w, lp3):
-        """(3 + 2*lp3, out) -> x / cos / sin row blocks."""
-        return wcast(w[:3]), wcast(w[3 : 3 + lp3]), wcast(w[3 + lp3 :])
+    def pad_enc_rows(w, offset=0):
+        """(3 + 2*l3, out) -> (128, out): the combined-E consumer weight.
+        Row order [x, cos, sin] matches the E column layout; dir-encoder
+        rows are placed at the dir block offset (3 + 6*levels_pos)."""
+        return wcast(jnp.pad(
+            w, ((offset, 128 - offset - w.shape[0]), (0, 0))))
 
     flat = []
-    w0x, w0c, w0s = split_enc_rows(s1[0]["w"], LP3)
-    flat += [w0x, w0c, w0s, b2d(s1[0]["b"])]
+    flat += [pad_enc_rows(s1[0]["w"]), b2d(s1[0]["b"])]
     for l in s1[1:]:
         flat += [wcast(l["w"]), b2d(l["b"])]
     w5 = s2[0]["w"]  # (D + P, D): rows 0:D = z-part, D:D+P = pos_enc part
-    w5bx, w5bc, w5bs = split_enc_rows(w5[D:], LP3)
-    flat += [wcast(w5[:D]), w5bx, w5bc, w5bs, b2d(s2[0]["b"])]
+    flat += [wcast(w5[:D]), pad_enc_rows(w5[D:]), b2d(s2[0]["b"])]
     for l in s2[1:L - 1]:
         flat += [wcast(l["w"]), b2d(l["b"])]
     w9 = s2[L - 1]["w"]  # (D, D + 1): cols 0:D hidden, D density
@@ -410,8 +450,8 @@ def _flatten_weights(params: Dict, cfg, cd) -> list:
         [s2[L - 1]["b"][:D], jnp.pad(s2[L - 1]["b"][D:], (0, 127))])
     flat += [wcast(whd), b2d(bhd)]
     wc0 = col[0]["w"]  # (D + Ddir, C)
-    wc0bx, wc0bc, wc0bs = split_enc_rows(wc0[D:], LD3)
-    flat += [wcast(wc0[:D]), wc0bx, wc0bc, wc0bs, b2d(col[0]["b"])]
+    flat += [wcast(wc0[:D]), pad_enc_rows(wc0[D:], offset=3 + 2 * LP3),
+             b2d(col[0]["b"])]
     wc1 = jnp.pad(col[1]["w"], ((0, 0), (0, 125)))  # (C, 3) -> (C, 128)
     bc1 = jnp.pad(col[1]["b"].reshape(1, 3), ((0, 0), (0, 125)))
     flat += [wcast(wc1), bc1.astype(jnp.float32)]
@@ -425,13 +465,14 @@ def _unflatten_grads(outs, params: Dict, cfg) -> Dict:
     names = _weight_names(cfg.n_hidden)
     G = dict(zip(names, outs))
     D = params["segments"][0]["layers"][0]["w"].shape[1]
+    LP = 3 + 6 * cfg.position_encoder.levels   # pos block row count
+    OFF = LP                                    # dir block offset in E
+    LD = 3 + 6 * cfg.direction_encoder.levels
 
-    seg1 = [{"w": jnp.concatenate([G["w0x"], G["w0c"], G["w0s"]], axis=0),
-             "b": G["b0"][0]}]
+    seg1 = [{"w": G["w0"][:LP], "b": G["b0"][0]}]
     for i in range(1, L):
         seg1.append({"w": G[f"w1_{i}"], "b": G[f"b1_{i}"][0]})
-    seg2 = [{"w": jnp.concatenate(
-                 [G["w5a"], G["w5bx"], G["w5bc"], G["w5bs"]], axis=0),
+    seg2 = [{"w": jnp.concatenate([G["w5a"], G["w5b"][:LP]], axis=0),
              "b": G["b5"][0]}]
     for i in range(L - 2):
         seg2.append({"w": G[f"w2_{i}"], "b": G[f"b2_{i}"][0]})
@@ -441,8 +482,7 @@ def _unflatten_grads(outs, params: Dict, cfg) -> Dict:
         "b": jnp.concatenate([bhd[:D], bhd[D : D + 1]]),
     })
     color = [
-        {"w": jnp.concatenate(
-             [G["wc0a"], G["wc0bx"], G["wc0bc"], G["wc0bs"]], axis=0),
+        {"w": jnp.concatenate([G["wc0a"], G["wc0b"][OFF:OFF + LD]], axis=0),
          "b": G["bc0"][0]},
         {"w": G["wc1"][:, :3], "b": G["bc1"][0][:3]},
     ]
@@ -489,11 +529,14 @@ def flagship_train_grads(
     cd = cfg.compute_dtype
     import os as _os
 
-    # 1024 rows (v3 default) needs ~20M scoped VMEM — above Mosaic's
+    # 1024 rows (v3 default, bf16) needs ~20M scoped VMEM — above Mosaic's
     # conservative 16M cap but well inside the physical budget (validated on
     # v5e: kernel 7.7 -> 6.95 ms at 1024x128). The cap is raised
     # automatically below; 2048 rows compiled pathologically — don't.
-    default_rows = int(_os.environ.get("NETPU_TRAIN_TILE_ROWS", 1024))
+    # fp32 activations double the residency (~29M at 1024 rows, past the
+    # validated cap) — stay at 512 rows there.
+    default_rows = int(_os.environ.get(
+        "NETPU_TRAIN_TILE_ROWS", 1024 if cfg.compute_dtype is not None else 512))
     tile = tile_rays or max(1, default_rows // S)
     pad = (-n) % tile
     valid = jnp.ones((n, 1), jnp.float32)
@@ -535,8 +578,8 @@ def flagship_train_grads(
     )
 
     # host-built static mask/selector constants (hoisted out of the kernel)
-    kp, selp, frp, kxp = _enc_tables(pe.levels, float(pe.scale))
-    kd, seld, frd, kxd = _enc_tables(de.levels, float(de.scale))
+    kc, mc_, kxc = _enc_tables(pe.levels, float(pe.scale),
+                               de.levels, float(de.scale))
     i_s, j_s = np.indices((S, S))
     lt = jnp.asarray((i_s < j_s).astype(np.float32))   # strict "later" cols
     ut = jnp.asarray((i_s > j_s).astype(np.float32))
@@ -545,7 +588,7 @@ def flagship_train_grads(
                         .astype(np.float32))           # (B, T)
     f_mat = jnp.asarray((i_b[:, None] % S == np.arange(S)[None, :])
                         .astype(np.float32))           # (B, S)
-    consts = [kp, selp, frp, kxp, kd, seld, frd, kxd, lt, ut, e_mat, f_mat]
+    consts = [kc, mc_, kxc, lt, ut, e_mat, f_mat]
 
     rows16 = pl.BlockSpec((B, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
