@@ -71,6 +71,9 @@ def parse_args(argv=None):
     p.add_argument("--blur_kernel_size", type=int, default=81)
     p.add_argument("--blur_relative_sigma_start", type=float, default=0.015)
     p.add_argument("--blur_relative_sigma_decay", type=float, default=0.99)
+    p.add_argument("--checkpoint_every_n_epochs", type=float, default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--camera_adam_eps", type=float, default=None,
                    help="Adam eps for the camera group; large values make "
                         "small camera updates gradient-proportional instead "
@@ -210,6 +213,7 @@ def build(args):
     trainer_cfg = TrainerConfig(
         max_epochs=max_epochs, max_steps=args.max_steps,
         batch_size=args.batch_size, seed=args.seed,
+        checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
     )
     # ray-density profile logger (`garf/ray_logger.py` parity): density along
     # the center ray of a named train image, from both networks
@@ -294,6 +298,15 @@ def build(args):
         )
         callbacks.append(conv_blur)
 
+    ckpt_mgr = None
+    if args.checkpoint_every_n_epochs or args.resume:
+        import os as _os
+
+        from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            _os.path.abspath(_os.path.join(args.out_dir, "ckpt")))
+
     trainer = Trainer(
         cfg=trainer_cfg,
         train_store=train_store,
@@ -305,10 +318,18 @@ def build(args):
         pose_error_fn=pose_fn,
         callbacks=callbacks,
         lr_fn=garf_system.lr_fn(cfg, state.params),
+        checkpoint_manager=ckpt_mgr,
     )
+    if args.resume and ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        state = ckpt_mgr.restore(state)
+        print(f"resumed from step {ckpt_mgr.latest_step()}")
     if conv_blur is not None:
-        # targets start blurred at sigma_start (pre-fit swap; decays at
-        # epoch-fraction milestones thereafter)
+        # targets start blurred at the sigma an uninterrupted run would
+        # have here: the trainer fires callbacks with the epoch fraction of
+        # the step JUST EXECUTED, so after `state.step` steps the ladder
+        # state is sync_to(ef(step - 1))
+        conv_blur.sync_to(
+            trainer.epoch_fraction(max(0, int(state.step) - 1)))
         trainer._train_arrays = trainer.train_store.arrays()
         trainer.swap_train_colors(conv_blur.flat_colors())
     return cfg, state, trainer

@@ -101,13 +101,14 @@ class ConvBlurTargets:
     ):
         self.images = jnp.asarray(images)
         self.kernel_size = kernel_size
-        self.sigma = float(relative_sigma_start)
+        self.sigma0 = float(relative_sigma_start)
+        self.sigma = self.sigma0
         self.decay = float(relative_sigma_decay)
         self.period = float(epoch_fraction_period)
         self.n_sigma_slots = n_sigma_slots
         self.max_side = max(self.images.shape[1], self.images.shape[2])
         self._blur = jax.jit(self._blur_flat)
-        self._next_milestone = self.period
+        self._n_applied = 0
 
     def _blur_flat(self, images, sigma):
         k = gaussian_kernel(self.kernel_size, sigma, self.max_side)
@@ -120,13 +121,23 @@ class ConvBlurTargets:
         slots = [raw] * (self.n_sigma_slots - 1) + [flat]
         return jnp.stack(slots, axis=1)
 
+    def sync_to(self, epoch_frac: float) -> None:
+        """Jump the ladder to the state an uninterrupted run would have at
+        `epoch_frac` (checkpoint resume)."""
+        n = int(epoch_frac // self.period)
+        self._n_applied = n
+        self.sigma = self.sigma0 * self.decay**n
+
     def flat_colors(self):
         return self._blur(self.images, jnp.asarray(self.sigma, jnp.float32))
 
     def __call__(self, trainer, state, step: int, epoch_frac: float) -> None:
-        if epoch_frac < self._next_milestone:
+        # sigma is a CLOSED-FORM function of the epoch fraction
+        # (sigma0 * decay^milestones), not incremental host state, so a
+        # resumed run lands on exactly the blur an uninterrupted run had.
+        n = int(epoch_frac // self.period)
+        if n <= self._n_applied:
             return
-        while self._next_milestone <= epoch_frac:
-            self._next_milestone += self.period
-            self.sigma *= self.decay  # gaussian_blur_step()
+        self._n_applied = n
+        self.sigma = self.sigma0 * self.decay**n  # n x gaussian_blur_step()
         trainer.swap_train_colors(self.flat_colors())

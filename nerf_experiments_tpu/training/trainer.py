@@ -241,7 +241,10 @@ class Trainer:
         if not hasattr(self, "_fused_val"):
             n_rays = self.val_store.n_rays
             pixel_width = self.val_store.pixel_width
-            batch_size = self.cfg.batch_size
+            # validation runs the XLA forward: cap the chunk so the program
+            # stays under the libtpu regalloc 1M-sample limit even when the
+            # train batch is mega-kernel-sized (verify SKILL.md gotcha)
+            batch_size = min(self.cfg.batch_size, 4096)
 
             def fused_val(params, arrays, k):
                 idx = jax.random.randint(k, (batch_size,), 0, n_rays)

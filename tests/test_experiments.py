@@ -313,3 +313,42 @@ class TestExactResume:
         for a, b in zip(jax.tree_util.tree_leaves(straight.params),
                         jax.tree_util.tree_leaves(resumed.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_conv_blur_resume_matches_straight(self, scene_dir, tmp_path):
+        """The conv-blur sigma ladder is a closed-form function of the epoch
+        fraction, so save/restore mid-ladder reproduces the uninterrupted
+        trajectory bit-for-bit (garf_main --resume)."""
+        import jax
+        from nerf_experiments_tpu.experiments import garf_main
+
+        def args_for(out, steps, extra=()):
+            return [
+                "--activation", "gauss",
+                "--scene_path", scene_dir, "--image_size", "24",
+                "--batch_size", "64", "--max_steps", str(steps),
+                "--proposal_samples_per_ray", "8",
+                "--radiance_samples_per_ray", "16",
+                "--conv_blur", "--blur_relative_sigma_start", "0.05",
+                "--blur_relative_sigma_decay", "0.9",
+                "--blur_kernel_size", "9",
+                "--out_dir", out,
+            ] + list(extra)
+
+        # uninterrupted 24 steps (several blur milestones at this scale)
+        cfg, state, trainer = garf_main.build(
+            garf_main.parse_args(args_for(str(tmp_path / "s"), 24)))
+        straight = trainer.fit(state)
+
+        # interrupted at 12 (checkpoint saved at end of fit), then resumed
+        cfg, state, trainer = garf_main.build(garf_main.parse_args(
+            args_for(str(tmp_path / "r"), 12,
+                     ["--checkpoint_every_n_epochs", "1000"])))
+        trainer.fit(state)
+        cfg, state, trainer = garf_main.build(garf_main.parse_args(
+            args_for(str(tmp_path / "r"), 24, ["--resume"])))
+        assert int(state.step) == 12
+        resumed = trainer.fit(state)
+
+        for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
