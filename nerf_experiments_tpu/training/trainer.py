@@ -241,10 +241,12 @@ class Trainer:
         if not hasattr(self, "_fused_val"):
             n_rays = self.val_store.n_rays
             pixel_width = self.val_store.pixel_width
-            # validation runs the XLA forward: cap the chunk so the program
-            # stays under the libtpu regalloc 1M-sample limit even when the
-            # train batch is mega-kernel-sized (verify SKILL.md gotcha)
-            batch_size = min(self.cfg.batch_size, 4096)
+            # validation runs the XLA forward (+ Kabsch gauge SVD in the
+            # same program): cap the chunk at the known-good 1024 so the
+            # program stays clear of the libtpu regalloc RET_CHECK even
+            # when the train batch is mega-kernel-sized (verify SKILL.md —
+            # 4096 with the in-program SVD still crashed)
+            batch_size = min(self.cfg.batch_size, 1024)
 
             def fused_val(params, arrays, k):
                 idx = jax.random.randint(k, (batch_size,), 0, n_rays)
