@@ -118,8 +118,16 @@ def build_barf_experiment(
             params=mesh_lib.shard_params(state.params, mesh),
             opt_state=mesh_lib.shard_params(state.opt_state, mesh),
         )
-        unjitted = lambda s, b, k, *sc: barf_sys.train_step(s, cfg, tx, b, k, *sc)
-        step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
+        if (fused and barf_sys.can_fuse_train_step(cfg)
+                and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) == 1):
+            # data-parallel mega-kernel: each device runs the Pallas kernel
+            # on its ray shard, grads pmean over ICI (params replicated)
+            step_fn = shard_lib.shard_map_train_step_fused(
+                cfg, tx, mesh, donate=True)
+        else:
+            unjitted = lambda s, b, k, *sc: barf_sys.train_step(
+                s, cfg, tx, b, k, *sc)
+            step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
     else:
         step_fn = barf_sys.make_train_step(cfg, tx, donate=True, fused=fused)
 

@@ -110,3 +110,33 @@ def shard_map_train_step(loss_fn: Callable, tx: optax.GradientTransformation, me
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def shard_map_train_step_fused(cfg, tx: optax.GradientTransformation, mesh,
+                               donate: bool = True):
+    """Data-parallel BARF mega-kernel step: every device runs the Pallas
+    training kernel (`ops/train_megakernel.py`) on its ray shard; gradients
+    pmean over the data axis; the optimizer update is computed identically
+    on every device (replicated params stay bitwise-synchronized).
+
+    Rays are independent, so the kernel needs NO cross-chip communication —
+    the only collective is the gradient reduction, exactly SURVEY §5.8's
+    layout. Returns step(state, batch, key, alpha_pos, alpha_dir, sigma).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    def per_shard(state, batch, key, a_pos, a_dir, sigma):
+        return barf_sys.train_step_fused(
+            state, cfg, tx, batch, key, a_pos, a_dir, sigma,
+            axis_name=DATA_AXIS)
+
+    mapped = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())

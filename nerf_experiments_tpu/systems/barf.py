@@ -378,6 +378,7 @@ def train_step_fused(
     alpha_pos: jnp.ndarray,
     alpha_dir: jnp.ndarray,
     blur_sigma: jnp.ndarray,
+    axis_name: str = None,
 ) -> Tuple[TrainState, Dict]:
     """One optimization step through the fused training mega-kernel
     (`ops/train_megakernel.py`): forward + compositing + loss grad + backward
@@ -388,11 +389,17 @@ def train_step_fused(
     Numerically equivalent to train_step for the flagship dense config
     (verified in tests/test_train_megakernel.py); requires the canonical
     architecture and no proposal stage.
+
+    With `axis_name` (inside shard_map): the batch is the LOCAL ray shard;
+    grads/loss are pmean'd over the data axis before the (replicated)
+    optimizer update, and the sampling key is decorrelated per shard.
     """
     from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
 
     assert not cfg.use_proposal, "fused train step is dense-path only"
     params = state.params
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
     (origs, dirs), vjp_cam = jax.vjp(
         lambda cam: calibration.training_transform_rays(
@@ -423,6 +430,9 @@ def train_step_fused(
     grads = {"radiance": grads_rad, "camera": d_camera}
 
     loss = jnp.mean((rgb_fine - target) ** 2)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
     metrics = {"loss_fine": loss, "psnr": psnr(loss), "loss": loss}
 
     grads, ok = optim.guard_nonfinite(grads)

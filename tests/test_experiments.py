@@ -202,12 +202,38 @@ class TestResumeAndRender:
         losses = [r["loss"] for r in rows if "loss" in r]
         assert losses and all(np.isfinite(l) for l in losses)
         # the 256-wide hidden weights actually live model-sharded on the mesh
+        import jax as _jax
+
         shardings = {
             str(l.sharding.spec)
-            for l in jax.tree_util.tree_leaves(state.params["radiance"])
+            for l in _jax.tree_util.tree_leaves(state.params["radiance"])
             if hasattr(l, "sharding") and l.ndim == 2 and l.shape[-1] == 256
         }
         assert any("model" in s for s in shardings), shardings
+
+    def test_cli_mesh_with_fused_megakernel(self, scene_dir, tmp_path):
+        """--mesh 8x1 --fused_kernel: the data-parallel Pallas mega-kernel
+        path end-to-end through the CLI (interpret mode on CPU)."""
+        import jax
+
+        from nerf_experiments_tpu.experiments import run_barf
+
+        assert len(jax.devices()) >= 8
+        out = str(tmp_path / "mesh_fused_run")
+        state = run_barf.main([
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "20",
+            "--samples_per_ray", "16",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--checkpoint_every_n_epochs", "0",
+            "--mesh", "8x1", "--fused_kernel",
+            "--out_dir", out,
+        ])
+        assert int(state.step) == 20
+        rows = _metrics(out)
+        losses = [r["loss"] for r in rows if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
 
     def test_garf_cli_trains_on_mesh(self, scene_dir, tmp_path):
         from nerf_experiments_tpu.experiments import garf_main

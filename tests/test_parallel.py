@@ -88,6 +88,37 @@ class TestShardedTraining:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
 
+    def test_shard_map_fused_megakernel_matches_single_device(self):
+        # every device runs the Pallas training mega-kernel (interpret mode
+        # on CPU) on its ray shard; pmean'd grads must reproduce the
+        # single-device fused trajectory on the same global batch
+        cfg = _cfg()
+        assert barf_sys.can_fuse_train_step(cfg)
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        tx = barf_sys.make_optimizer(cfg, state.params)
+        batch = _batch(jax.random.PRNGKey(1))
+        args = (jnp.asarray(4.0), jnp.asarray(2.0), jnp.asarray(0.0))
+
+        step1 = barf_sys.make_train_step(cfg, tx, donate=False, fused=True)
+        s_ref = state
+        for i in range(2):
+            s_ref, _ = step1(s_ref, batch, jax.random.PRNGKey(42 + i), *args)
+
+        m = mesh_lib.make_mesh()
+        stepN = shard_lib.shard_map_train_step_fused(cfg, tx, m, donate=False)
+        s_par = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        s_par = s_par.replace(params=mesh_lib.shard_params(s_par.params, m))
+        batch_sharded = mesh_lib.shard_batch(batch, m)
+        for i in range(2):
+            s_par, m_par = stepN(s_par, batch_sharded, jax.random.PRNGKey(42 + i), *args)
+        assert np.isfinite(float(m_par["loss"]))
+
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(s_ref.params),
+            jax.tree_util.tree_leaves(s_par.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
     def test_shard_map_step_runs(self):
         cfg = _cfg()
         state = barf_sys.init(jax.random.PRNGKey(0), cfg)
