@@ -54,24 +54,39 @@ from nerf_experiments_tpu.ops.render import DENSITY_SCALE
 HIGHEST = jax.lax.Precision.HIGHEST
 
 # flat weight/bias/activation-param order shared by flatten / kernel /
-# unflatten. d1 has 4 gauss layers; d2 has 3 gauss + merged raw head;
-# color has 1 gauss + padded rgb head.
-_NAMES = (
-    ["wd1_0", "bd1_0", "i1_0", "wd1_1", "bd1_1", "i1_1",
-     "wd1_2", "bd1_2", "i1_2", "wd1_3", "bd1_3", "i1_3"]
-    + ["wd2_0a", "wd2_0x", "bd2_0", "i2_0", "wd2_1", "bd2_1", "i2_1",
-       "wd2_2", "bd2_2", "i2_2", "wd2_3m", "bd2_3"]
-    + ["wc0a", "wc0x", "bc0", "ic0", "wc1", "bc1"]
-)
+# unflatten. d1 has 4 activation layers; d2 has 3 + merged raw head;
+# color has 1 + padded rgb head. The gabor family carries a SECOND
+# per-layer activation param (spread), named s<key>.
+ACT_KEYS_D1 = ["1_0", "1_1", "1_2", "1_3"]
+ACT_KEYS_D2 = ["2_0", "2_1", "2_2"]
+ACT_KEY_C = "c0"
+
+
+def _act_names(key: str, activation: str):
+    return [f"i{key}", f"s{key}"] if activation == "gabor" else [f"i{key}"]
+
+
+def _names(activation: str):
+    names = []
+    for i, k in enumerate(ACT_KEYS_D1):
+        names += [f"wd1_{i}", f"bd1_{i}"] + _act_names(k, activation)
+    names += ["wd2_0a", "wd2_0x", "bd2_0"] + _act_names("2_0", activation)
+    for i in (1, 2):
+        names += [f"wd2_{i}", f"bd2_{i}"] + _act_names(f"2_{i}", activation)
+    names += ["wd2_3m", "bd2_3"]
+    names += ["wc0a", "wc0x", "bc0"] + _act_names(ACT_KEY_C, activation)
+    names += ["wc1", "bc1"]
+    return names
 
 
 def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
-    (S, dscale, inv_n3, cd, fwd_only) = static
+    (S, dscale, inv_n3, cd, fwd_only, activation) = static
     f32 = jnp.float32
-    n_w = len(_NAMES)
-    W = {nm: refs[i] for i, nm in enumerate(_NAMES)}
+    names = _names(activation)
+    n_w = len(names)
+    W = {nm: refs[i] for i, nm in enumerate(names)}
     out_rows_ref = refs[n_w]
-    Dref = {nm: refs[n_w + 1 + i] for i, nm in enumerate(_NAMES)}
+    Dref = {nm: refs[n_w + 1 + i] for i, nm in enumerate(names)}
 
     first = pl.program_id(0) == 0
 
@@ -118,37 +133,84 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     e_mat = e_ref[:]               # (B, T)
     f_mat = f_ref[:]               # (B, S)
 
-    def gauss(x_f32, iname):
+    # ---- learnable-bandwidth activation family (static dispatch) ----
+    # gauss: a = exp(-x^2 v), v = isd^2 + 1e-6           (barf/gaussian.py)
+    # gabor: a = exp(-v x^2) cos(s x)                     (gaborf/gabor.py)
+    # sarf:  a = cos(f/(xs^2 + f^-2)) exp(-xs^2),
+    #        xs = -sign(x)(|x|+1e-4), dxs/dx = -1         (sarf/activation.py:62-65)
+    def act(x_f32, key):
         """(post-act cd, pre-act cd) — both stored for the backward chain."""
-        v = W[iname][:] ** 2 + 1e-6
-        a = jnp.exp(-(x_f32 * x_f32) * v)
+        if activation == "gauss":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            a = jnp.exp(-(x_f32 * x_f32) * v)
+        elif activation == "gabor":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            sp = W[f"s{key}"][:]
+            a = jnp.exp(-v * x_f32 * x_f32) * jnp.cos(sp * x_f32)
+        elif activation == "sarf":
+            f = W[f"i{key}"][:]
+            sgn = jnp.where(x_f32 < 0.0, 1.0, -1.0)
+            xs = sgn * (jnp.abs(x_f32) + 1e-4)
+            u = xs * xs
+            denom = u + 1.0 / (f * f)
+            a = jnp.cos(f / denom) * jnp.exp(-u)
+        else:
+            raise ValueError(activation)
         return cde(a), cde(x_f32)
 
-    def gauss_bwd(g, a_cd, x_cd, iname):
-        """g wrt act output -> (g wrt pre-act); accumulates d_isd."""
-        v = W[iname][:] ** 2 + 1e-6
-        ga = g * a_cd.astype(f32)
+    def act_bwd(g, a_cd, x_cd, key):
+        """g wrt act output -> g wrt pre-act; accumulates d(act params)."""
         xf = x_cd.astype(f32)
-        accum(iname, bsum(-ga * xf * xf) * (2.0 * W[iname][:]))
-        return ga * (-2.0 * v) * xf
+        if activation == "gauss":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            ga = g * a_cd.astype(f32)
+            accum(f"i{key}", bsum(-ga * xf * xf) * (2.0 * W[f"i{key}"][:]))
+            return ga * (-2.0 * v) * xf
+        if activation == "gabor":
+            isd = W[f"i{key}"][:]
+            v = isd**2 + 1e-6
+            sp = W[f"s{key}"][:]
+            e = jnp.exp(-v * xf * xf)
+            csx = jnp.cos(sp * xf)
+            ssx = jnp.sin(sp * xf)
+            gme = -g * e
+            accum(f"i{key}", bsum(gme * xf * xf * csx) * (2.0 * isd))
+            accum(f"s{key}", bsum(gme * xf * ssx))
+            return gme * (2.0 * csx * v * xf + sp * ssx)
+        if activation == "sarf":
+            f = W[f"i{key}"][:]
+            sgn = jnp.where(xf < 0.0, 1.0, -1.0)
+            xs = sgn * (jnp.abs(xf) + 1e-4)
+            u = xs * xs
+            f2i = 1.0 / (f * f)
+            denom = u + f2i
+            theta = f / denom
+            eu = jnp.exp(-u)
+            sth = jnp.sin(theta)
+            # da/du = eu (sin(th) f / denom^2 - cos(th)); du/dx = -2 xs
+            da_du = eu * (sth * f / (denom * denom) - jnp.cos(theta))
+            accum(f"i{key}", bsum(-g * sth * (u + 3.0 * f2i)
+                                  / (denom * denom) * eu))
+            return g * da_du * (-2.0 * xs)
+        raise ValueError(activation)
 
     # ---- density1: 3 -> 1024 -> 256 -> 128 -> 128, gauss after each ----
     x10 = mm(pos, W["wd1_0"]) + W["bd1_0"][:]
-    a10, _ = gauss(x10, "i1_0")    # pre-act recomputed in bwd (VMEM: 1024-wide)
+    a10, _ = act(x10, "1_0")    # pre-act recomputed in bwd (VMEM: 1024-wide)
     x11 = mm(a10, W["wd1_1"]) + W["bd1_1"][:]
-    a11, x11c = gauss(x11, "i1_1")
+    a11, x11c = act(x11, "1_1")
     x12 = mm(a11, W["wd1_2"]) + W["bd1_2"][:]
-    a12, x12c = gauss(x12, "i1_2")
+    a12, x12c = act(x12, "1_2")
     x13 = mm(a12, W["wd1_3"]) + W["bd1_3"][:]
-    z1, x13c = gauss(x13, "i1_3")  # (B, 128)
+    z1, x13c = act(x13, "1_3")  # (B, 128)
 
     # ---- density2: [z1 . pos] -> 512 -> 256 -> 128 -> (128 | density) ----
     x20 = mm(z1, W["wd2_0a"]) + mm(pos, W["wd2_0x"]) + W["bd2_0"][:]
-    a20, x20c = gauss(x20, "i2_0")
+    a20, x20c = act(x20, "2_0")
     x21 = mm(a20, W["wd2_1"]) + W["bd2_1"][:]
-    a21, x21c = gauss(x21, "i2_1")
+    a21, x21c = act(x21, "2_1")
     x22 = mm(a21, W["wd2_2"]) + W["bd2_2"][:]
-    a22, x22c = gauss(x22, "i2_2")
+    a22, x22c = act(x22, "2_2")
     z2m = mm(a22, W["wd2_3m"]) + W["bd2_3"][:]  # (B, 256) f32, col 128 = dens
     z2c = z2m[:, :128]
     dens_row = z2m[:, 128:129]                  # (B, 1) f32 raw
@@ -156,14 +218,14 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     # ---- color: [z1 + z2c . dir] -> 256 -> 3 (sigmoid) ----
     ci = cde(z1.astype(f32) + z2c)
     x30 = mm(ci, W["wc0a"]) + mm(dirs, W["wc0x"]) + W["bc0"][:]
-    a30, x30c = gauss(x30, "ic0")
+    a30, x30c = act(x30, "c0")
     logits = mm(a30, W["wc1"]) + W["bc1"][:]    # (B, 128), cols 0:3 = rgb
     rgb128 = jax.nn.sigmoid(logits)
 
     if fwd_only == 2:  # bisect probe: nets only
         out_rows_ref[:] = jnp.concatenate(
             [rgb128[:, :3], dens_row, jnp.zeros((B, 12), f32)], axis=-1)
-        for nm in _NAMES:
+        for nm in names:
             accum(nm, jnp.zeros(Dref[nm].shape, f32))
         return
 
@@ -207,7 +269,7 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
         out_rows_ref[:] = jnp.concatenate(
             [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),
              jnp.zeros((B, 6), f32), w_row, jnp.zeros((B, 6), f32)], axis=-1)
-        for nm in _NAMES:
+        for nm in names:
             accum(nm, jnp.zeros(Dref[nm].shape, f32))
         return
 
@@ -230,7 +292,7 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
                 * rgb128 * (1.0 - rgb128))
     accum("wc1", outer(a30, d_logits))
     accum("bc1", bsum(d_logits))
-    g_x30 = gauss_bwd(mm_t(d_logits, W["wc1"]), a30, x30c, "ic0")
+    g_x30 = act_bwd(mm_t(d_logits, W["wc1"]), a30, x30c, "c0")
     accum("wc0a", outer(ci, g_x30))
     accum("wc0x", outer(dirs, g_x30))
     accum("bc0", bsum(g_x30))
@@ -243,13 +305,13 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     g_z2m = jnp.concatenate([g_ci, d_dens128], axis=-1)   # (B, 256) aligned
     accum("wd2_3m", outer(a22, g_z2m))
     accum("bd2_3", bsum(g_z2m))
-    g_x22 = gauss_bwd(mm_t(g_z2m, W["wd2_3m"]), a22, x22c, "i2_2")
+    g_x22 = act_bwd(mm_t(g_z2m, W["wd2_3m"]), a22, x22c, "2_2")
     accum("wd2_2", outer(a21, g_x22))
     accum("bd2_2", bsum(g_x22))
-    g_x21 = gauss_bwd(mm_t(g_x22, W["wd2_2"]), a21, x21c, "i2_1")
+    g_x21 = act_bwd(mm_t(g_x22, W["wd2_2"]), a21, x21c, "2_1")
     accum("wd2_1", outer(a20, g_x21))
     accum("bd2_1", bsum(g_x21))
-    g_x20 = gauss_bwd(mm_t(g_x21, W["wd2_1"]), a20, x20c, "i2_0")
+    g_x20 = act_bwd(mm_t(g_x21, W["wd2_1"]), a20, x20c, "2_0")
     accum("wd2_0a", outer(z1, g_x20))
     accum("wd2_0x", outer(pos, g_x20))
     accum("bd2_0", bsum(g_x20))
@@ -257,18 +319,18 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     d_pos = mm_t(g_x20, W["wd2_0x"])              # (B, 3) accumulates below
 
     # ---- density1 backward ----
-    g_x13 = gauss_bwd(g_z1, z1, x13c, "i1_3")
+    g_x13 = act_bwd(g_z1, z1, x13c, "1_3")
     accum("wd1_3", outer(a12, g_x13))
     accum("bd1_3", bsum(g_x13))
-    g_x12 = gauss_bwd(mm_t(g_x13, W["wd1_3"]), a12, x12c, "i1_2")
+    g_x12 = act_bwd(mm_t(g_x13, W["wd1_3"]), a12, x12c, "1_2")
     accum("wd1_2", outer(a11, g_x12))
     accum("bd1_2", bsum(g_x12))
-    g_x11 = gauss_bwd(mm_t(g_x12, W["wd1_2"]), a11, x11c, "i1_1")
+    g_x11 = act_bwd(mm_t(g_x12, W["wd1_2"]), a11, x11c, "1_1")
     accum("wd1_1", outer(a10, g_x11))
     accum("bd1_1", bsum(g_x11))
     # recompute the (B, 1024) pre-activation instead of storing it (VMEM)
     x10r = cde(mm(pos, W["wd1_0"]) + W["bd1_0"][:])
-    g_x10 = gauss_bwd(mm_t(g_x11, W["wd1_1"]), a10, x10r, "i1_0")
+    g_x10 = act_bwd(mm_t(g_x11, W["wd1_1"]), a10, x10r, "1_0")
     accum("wd1_0", outer(pos, g_x10))
     accum("bd1_0", bsum(g_x10))
     d_pos = d_pos + mm_t(g_x10, W["wd1_0"])
@@ -278,26 +340,32 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
          d_pos, d_dirs_rep, w_row, jnp.zeros((B, 6), f32)], axis=-1)
 
 
-def _flatten_weights(params: Dict, cd) -> list:
+def _flatten_weights(params: Dict, cd, activation: str) -> list:
     """Radiance pytree (`models/garf.py:radiance_init`) -> the kernel's
-    split/merged/padded flat list (order = _NAMES)."""
+    split/merged/padded flat list (order = _names(activation))."""
     d1 = params["density1"]
     d2 = params["density2"]
     col = params["color"]
     wcast = (lambda w: w.astype(cd)) if cd is not None else (lambda w: w)
     b2d = lambda b: b.astype(jnp.float32).reshape(1, -1)
-    i2d = lambda a: a["isd"].astype(jnp.float32).reshape(1, -1)
+
+    def acts(a):
+        if activation == "gauss":
+            return [b2d(a["isd"])]
+        if activation == "gabor":
+            return [b2d(a["isd"]), b2d(a["spread"])]
+        return [b2d(a["freq"])]  # sarf
 
     flat = []
     for li in range(4):
-        flat += [wcast(d1["linear"][li]["w"]), b2d(d1["linear"][li]["b"]),
-                 i2d(d1["act"][li])]
+        flat += [wcast(d1["linear"][li]["w"]), b2d(d1["linear"][li]["b"])]
+        flat += acts(d1["act"][li])
     w20 = d2["linear"][0]["w"]  # (128 + 3, 512): rows 0:128 z1, 128:131 pos
-    flat += [wcast(w20[:128]), wcast(w20[128:]), b2d(d2["linear"][0]["b"]),
-             i2d(d2["act"][0])]
+    flat += [wcast(w20[:128]), wcast(w20[128:]), b2d(d2["linear"][0]["b"])]
+    flat += acts(d2["act"][0])
     for li in (1, 2):
-        flat += [wcast(d2["linear"][li]["w"]), b2d(d2["linear"][li]["b"]),
-                 i2d(d2["act"][li])]
+        flat += [wcast(d2["linear"][li]["w"]), b2d(d2["linear"][li]["b"])]
+        flat += acts(d2["act"][li])
     w23 = d2["linear"][3]["w"]  # (128, 129): cols 0:128 z2c, 128 density
     w23m = jnp.concatenate(
         [w23[:, :128], jnp.pad(w23[:, 128:], ((0, 0), (0, 127)))], axis=1)
@@ -306,23 +374,30 @@ def _flatten_weights(params: Dict, cd) -> list:
          jnp.pad(d2["linear"][3]["b"][128:], (0, 127))])
     flat += [wcast(w23m), b2d(b23)]
     wc0 = col["linear"][0]["w"]  # (128 + 3, 256): rows 0:128 ci, 128:131 dir
-    flat += [wcast(wc0[:128]), wcast(wc0[128:]), b2d(col["linear"][0]["b"]),
-             i2d(col["act"][0])]
+    flat += [wcast(wc0[:128]), wcast(wc0[128:]), b2d(col["linear"][0]["b"])]
+    flat += acts(col["act"][0])
     wc1 = jnp.pad(col["linear"][1]["w"], ((0, 0), (0, 125)))  # (256, 3)->128
     bc1 = jnp.pad(col["linear"][1]["b"].reshape(1, 3), ((0, 0), (0, 125)))
     flat += [wcast(wc1), bc1.astype(jnp.float32)]
     return flat
 
 
-def _unflatten_grads(outs, params: Dict) -> Dict:
-    """Kernel dW/db/d_isd list back into the radiance pytree."""
-    G = dict(zip(_NAMES, outs))
+def _unflatten_grads(outs, params: Dict, activation: str) -> Dict:
+    """Kernel dW/db/d(act-param) list back into the radiance pytree."""
+    G = dict(zip(_names(activation), outs))
 
     def lin(w, b):
         return {"w": w, "b": b[0]}
 
+    def act_g(key):
+        if activation == "gauss":
+            return {"isd": G[f"i{key}"][0]}
+        if activation == "gabor":
+            return {"isd": G[f"i{key}"][0], "spread": G[f"s{key}"][0]}
+        return {"freq": G[f"i{key}"][0]}  # sarf
+
     d1 = {"linear": [lin(G[f"wd1_{i}"], G[f"bd1_{i}"]) for i in range(4)],
-          "act": [{"isd": G[f"i1_{i}"][0]} for i in range(4)]}
+          "act": [act_g(k) for k in ACT_KEYS_D1]}
     w23m, b23 = G["wd2_3m"], G["bd2_3"][0]
     d2 = {"linear": [
               lin(jnp.concatenate([G["wd2_0a"], G["wd2_0x"]], axis=0),
@@ -331,12 +406,12 @@ def _unflatten_grads(outs, params: Dict) -> Dict:
               lin(G["wd2_2"], G["bd2_2"]),
               {"w": jnp.concatenate([w23m[:, :128], w23m[:, 128:129]], axis=1),
                "b": jnp.concatenate([b23[:128], b23[128:129]])}],
-          "act": [{"isd": G[f"i2_{i}"][0]} for i in range(3)]}
+          "act": [act_g(k) for k in ACT_KEYS_D2]}
     color = {"linear": [
                  lin(jnp.concatenate([G["wc0a"], G["wc0x"]], axis=0),
                      G["bc0"]),
                  {"w": G["wc1"][:, :3], "b": G["bc1"][0][:3]}],
-             "act": [{"isd": G["ic0"][0]}]}
+             "act": [act_g(ACT_KEY_C)]}
     return {"density1": d1, "density2": d2, "color": color}
 
 
@@ -400,10 +475,12 @@ def garf_radiance_train_grads(
 
     import os
 
-    flat_w = _flatten_weights(params, cd)
+    activation = getattr(cfg, "activation", "gauss")
+    flat_w = _flatten_weights(params, cd, activation)
     static = (
         S, float(density_scale), 1.0 / (n * 3.0), cd,
         int(os.environ.get("NETPU_TRAIN_FWD_ONLY", 0)),
+        activation,
     )
 
     i_s, j_s = np.indices((S, S))
@@ -457,7 +534,7 @@ def garf_radiance_train_grads(
     d_origs = jnp.sum(d_pos, axis=1)
     d_dirs = jnp.sum(t_q[:n, :, None] * d_pos + d_dirs_rep, axis=1)
 
-    grads = _unflatten_grads(outs[1:], params)
+    grads = _unflatten_grads(outs[1:], params, activation)
     grads = jax.tree_util.tree_map(
         lambda g, p: g.astype(p.dtype), grads, params)
     return rgb_fine, weights, grads, d_origs, d_dirs

@@ -10,8 +10,8 @@ from nerf_experiments_tpu.ops.garf_megakernel import garf_radiance_train_grads
 from nerf_experiments_tpu.systems import garf_system
 
 
-def _setup(n_rays=5, S=8, seed=0):
-    cfg = garf.GarfConfig(init_min=0.5, init_max=2.0)
+def _setup(n_rays=5, S=8, seed=0, activation="gauss"):
+    cfg = garf.GarfConfig(init_min=0.5, init_max=2.0, activation=activation)
     params = garf.radiance_init(jax.random.PRNGKey(seed), cfg)
     ks = jax.random.split(jax.random.PRNGKey(seed + 1), 4)
     dirs = jax.random.normal(ks[0], (n_rays, 3))
@@ -36,8 +36,13 @@ def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets):
     return jnp.mean((rgb - targets) ** 2), (rgb, extras["weights"])
 
 
-def test_garf_kernel_grads_match_xla():
-    cfg, params, origs, dirs, targets, t_start, t_end = _setup()
+import pytest
+
+
+@pytest.mark.parametrize("activation", ["gauss", "gabor", "sarf"])
+def test_garf_kernel_grads_match_xla(activation):
+    cfg, params, origs, dirs, targets, t_start, t_end = _setup(
+        activation=activation)
 
     (loss_ref, (rgb_ref, w_ref)), grads_ref = jax.value_and_grad(
         lambda p, o, d: _ref_loss(p, cfg, o, d, t_start, t_end, targets),
