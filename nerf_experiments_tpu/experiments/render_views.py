@@ -32,7 +32,7 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_step", type=int, default=None)
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
     p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
-    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=2048)
     # run_barf config flags needed to rebuild the same model
     run_barf_args = [
         "--camera_origin_noise_sigma", "--camera_rotation_noise_sigma",
