@@ -507,11 +507,12 @@ def garf_radiance_train_grads(
         out_specs.append(full(x.shape))
         out_shapes.append(jax.ShapeDtypeStruct(x.shape, f32))
 
-    # 768-row tiles (default) need ~17.4M scoped VMEM; 20M validated on
-    # v5e (kernel 11.3 -> 9.8 ms at 1024x192)
+    # 768-row tiles (default) need ~17.4M scoped VMEM (gauss; gabor's
+    # spread params + backward temporaries push to ~21.3M) — 24M validated
+    # on v5e (kernel 11.3 -> 9.8 ms at 1024x192)
     vmem_mb = int(os.environ.get("NETPU_TRAIN_VMEM_MB", 0))
     if not vmem_mb and B > 384:
-        vmem_mb = 20
+        vmem_mb = 26  # sarf's backward temporaries peak at ~24.3M
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
         if vmem_mb else None
