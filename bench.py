@@ -116,7 +116,8 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
     return out
 
 
-def bench_garf(batch_size, steps, compute_dtype, fused=False):
+def bench_garf(batch_size, steps, compute_dtype, fused=False,
+               activation="gauss"):
     from nerf_experiments_tpu.models import garf as garf_models
     from nerf_experiments_tpu.systems import garf_system
     from __graft_entry__ import _example_batch
@@ -125,6 +126,7 @@ def bench_garf(batch_size, steps, compute_dtype, fused=False):
         n_train_images=100,
         net=garf_models.GarfConfig(init_min=0.5, init_max=2.0,
                                    learning_rate_decay_end=10_000,
+                                   activation=activation,
                                    compute_dtype=compute_dtype),
     )
     state = garf_system.init(jax.random.PRNGKey(0), cfg)

@@ -82,8 +82,14 @@ def _gabor_bwd(res, g):
 gabor_act.defvjp(_gabor_fwd, _gabor_bwd)
 
 
-def gabor_from_isd(x, inv_standard_deviation, spread):
-    return gabor_act(x, inv_standard_deviation**2 + 1e-6, spread)
+def gabor_from_isd(x, inv_standard_deviation, spread, anneal=1.0):
+    """anneal in [0, 1] scales the oscillation frequency (spread): at 0 the
+    activation is exactly GaussAct (which calibrates cameras — RESULTS.md),
+    at 1 the full Gabor. The coarse-to-fine activation annealing is this
+    framework's family-specific analog of BARF's encoding-alpha window —
+    the reference never calibrates gaborf/sarf (e.g. `sarf/main.py` ships
+    camera LR 4e-9, i.e. frozen cameras)."""
+    return gabor_act(x, inv_standard_deviation**2 + 1e-6, spread * anneal)
 
 
 # -------------------------------------------------------------------- SARF
@@ -97,11 +103,16 @@ def _sign_safe(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return (jnp.signbit(x).astype(x.dtype) * 2.0 - 1.0) * (jnp.abs(x) + eps)
 
 
-def sarf_act(x: jnp.ndarray, frequency: jnp.ndarray) -> jnp.ndarray:
+def sarf_act(x: jnp.ndarray, frequency: jnp.ndarray, anneal=1.0) -> jnp.ndarray:
     """Live SARF forward (`sarf/activation.py:63-65`):
-    cos(f / (x'^2 + 1/f^2)) * exp(-x'^2) with x' sign-safe-shifted."""
+    cos(f / (x'^2 + 1/f^2)) * exp(-x'^2) with x' sign-safe-shifted.
+
+    anneal in [0, 1] scales the cosine's phase argument: at 0 the
+    activation is the pure Gaussian bump exp(-x'^2) (calibration-friendly),
+    at 1 the full damped cosine — see gabor_from_isd."""
     xs = _sign_safe(x)
-    return jnp.cos(frequency / (xs**2 + 1.0 / frequency**2)) * jnp.exp(-(xs**2))
+    theta = frequency / (xs**2 + 1.0 / frequency**2)
+    return jnp.cos(anneal * theta) * jnp.exp(-(xs**2))
 
 
 def sarf_sinc_act(x: jnp.ndarray, frequency: jnp.ndarray) -> jnp.ndarray:

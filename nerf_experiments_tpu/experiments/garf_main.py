@@ -83,6 +83,12 @@ def parse_args(argv=None):
                    help="detach the rays in the interlevel-loss branch so "
                         "the proposal histogram loss cannot push the camera "
                         "extrinsics (see GarfSystemConfig)")
+    p.add_argument("--act_anneal_start_epoch", type=float, default=0.0,
+                   help="activation coarse-to-fine annealing (gabor/sarf): "
+                        "the oscillation term is scaled by gamma ramping "
+                        "0 -> 1 between these epochs; 0/0 disables "
+                        "(gamma = 1, reference semantics)")
+    p.add_argument("--act_anneal_end_epoch", type=float, default=0.0)
     p.add_argument("--fused_kernel", action="store_true", default=False,
                    help="run the radiance half of the step through the GARF "
                         "Pallas mega-kernel (ops/garf_megakernel.py; "
@@ -164,6 +170,8 @@ def build(args):
         scheduler_steps_per_period=max(1, epochs_to_steps(period)) if period else 1,
         interlevel_camera_grads=not args.no_interlevel_camera_grads,
         camera_adam_eps=args.camera_adam_eps,
+        act_anneal_start_step=epochs_to_steps(args.act_anneal_start_epoch),
+        act_anneal_end_step=epochs_to_steps(args.act_anneal_end_epoch),
     )
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
@@ -177,14 +185,14 @@ def build(args):
             params=mesh_lib.shard_params(state.params, mesh),
             opt_state=mesh_lib.shard_params(state.opt_state, mesh),
         )
-        unjitted = lambda s, b, k: garf_system.train_step(s, cfg, tx, b, k)
+        unjitted = lambda s, b, k, an=1.0: garf_system.train_step(
+            s, cfg, tx, b, k, an)
         step_fn = shard_lib.pjit_train_step(unjitted, mesh, donate=True)
     else:
-        step_fn_raw = (
+        step_fn = (
             garf_system.make_train_step_fused(cfg, tx, donate=True)
             if args.fused_kernel
             else garf_system.make_train_step(cfg, tx, donate=True))
-        step_fn = lambda state, batch, key: step_fn_raw(state, batch, key)
 
     raw = train_store.camera_origins_raw
     noisy = train_store.camera_origins_noisy
@@ -310,8 +318,9 @@ def build(args):
     trainer = Trainer(
         cfg=trainer_cfg,
         train_store=train_store,
-        step_fn=lambda state, batch, key: step_fn(state, batch, key),
-        scalar_fn=lambda step, ef: (),
+        step_fn=lambda state, batch, key, *sc: step_fn(
+            state, batch, key, *sc),
+        scalar_fn=lambda step, ef: (cfg.act_anneal_at(step),),
         metric_logger=metric_logger,
         val_store=val_store,
         val_fn=val_step,

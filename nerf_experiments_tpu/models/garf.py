@@ -92,13 +92,17 @@ def _act_init(key: jax.Array, cfg: GarfConfig, features: int) -> Dict:
     raise ValueError(f"unknown activation {cfg.activation!r}")
 
 
-def _act_apply(cfg: GarfConfig, act_params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def _act_apply(cfg: GarfConfig, act_params: Dict, x: jnp.ndarray,
+               anneal=1.0) -> jnp.ndarray:
+    """anneal scales the oscillatory term of gabor/sarf (1.0 = reference
+    semantics; gauss has no oscillation and ignores it) — the activation
+    coarse-to-fine schedule used for joint camera calibration."""
     if cfg.activation == "gauss":
         return gauss_from_isd(x, act_params["isd"])
     if cfg.activation == "gabor":
-        return gabor_from_isd(x, act_params["isd"], act_params["spread"])
+        return gabor_from_isd(x, act_params["isd"], act_params["spread"], anneal)
     if cfg.activation == "sarf":
-        return sarf_act(x, act_params["freq"])
+        return sarf_act(x, act_params["freq"], anneal)
     raise ValueError(cfg.activation)
 
 
@@ -111,12 +115,13 @@ def _init_stack(key: jax.Array, cfg: GarfConfig, dims, act_after_last: bool):
     return {"linear": linear, "act": act}
 
 
-def _apply_stack(cfg: GarfConfig, stack: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def _apply_stack(cfg: GarfConfig, stack: Dict, x: jnp.ndarray,
+                 anneal=1.0) -> jnp.ndarray:
     h = x
     for i, lin in enumerate(stack["linear"]):
         h = linear_apply(lin, h, cfg.compute_dtype)
         if i < len(stack["act"]):
-            h = _act_apply(cfg, stack["act"][i], h)
+            h = _act_apply(cfg, stack["act"][i], h, anneal)
     return h
 
 
@@ -131,18 +136,21 @@ def radiance_init(key: jax.Array, cfg: GarfConfig) -> Dict:
 
 
 def radiance_apply(
-    params: Dict, cfg: GarfConfig, pos: jnp.ndarray, dir: jnp.ndarray
+    params: Dict, cfg: GarfConfig, pos: jnp.ndarray, dir: jnp.ndarray,
+    act_anneal=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(rgb, density) — argument/return order matches RadianceNetwork.forward."""
-    z1 = _apply_stack(cfg, params["density1"], pos)
+    z1 = _apply_stack(cfg, params["density1"], pos, act_anneal)
     z2 = _apply_stack(cfg, params["density2"],
-                      jnp.concatenate([z1, pos.astype(z1.dtype)], axis=-1))
+                      jnp.concatenate([z1, pos.astype(z1.dtype)], axis=-1),
+                      act_anneal)
     density = softplus8(z2[:, 128].astype(jnp.float32) - 1.0)
     color_in = jnp.concatenate(
         [z1[:, :128] + z2[:, :128], dir.astype(z1.dtype)], axis=-1
     )
     rgb = jax.nn.sigmoid(
-        _apply_stack(cfg, params["color"], color_in).astype(jnp.float32)
+        _apply_stack(cfg, params["color"], color_in, act_anneal)
+        .astype(jnp.float32)
     )
     return rgb, density
 
@@ -152,9 +160,10 @@ def proposal_init(key: jax.Array, cfg: GarfConfig) -> Dict:
     return {"net": _init_stack(key, cfg, PROPOSAL_DIMS, act_after_last=False)}
 
 
-def proposal_apply(params: Dict, cfg: GarfConfig, pos: jnp.ndarray) -> jnp.ndarray:
+def proposal_apply(params: Dict, cfg: GarfConfig, pos: jnp.ndarray,
+                   act_anneal=1.0) -> jnp.ndarray:
     """Density-only network; softplus(threshold=8) output, squeezed to (B,)."""
-    out = _apply_stack(cfg, params["net"], pos)
+    out = _apply_stack(cfg, params["net"], pos, act_anneal)
     return softplus8(out[..., 0].astype(jnp.float32))
 
 

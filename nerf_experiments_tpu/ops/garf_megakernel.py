@@ -79,7 +79,7 @@ def _names(activation: str):
     return names
 
 
-def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
+def _kernel(static, rays_ref, an_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     (S, dscale, inv_n3, cd, fwd_only, activation) = static
     f32 = jnp.float32
     names = _names(activation)
@@ -89,6 +89,7 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     Dref = {nm: refs[n_w + 1 + i] for i, nm in enumerate(names)}
 
     first = pl.program_id(0) == 0
+    gamma = an_ref[0, 0]  # activation-anneal scalar (gabor/sarf only)
 
     def cde(x):
         return x.astype(cd) if cd is not None else x
@@ -139,28 +140,58 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     # sarf:  a = cos(f/(xs^2 + f^-2)) exp(-xs^2),
     #        xs = -sign(x)(|x|+1e-4), dxs/dx = -1         (sarf/activation.py:62-65)
     def act(x_f32, key):
-        """(post-act cd, pre-act cd) — both stored for the backward chain."""
+        """(post-act cd, stored tuple) — stored feeds the backward chain.
+
+        gauss stores only the pre-activation (its backward is a multiply
+        chain off the stored post-act — zero transcendentals). gabor/sarf
+        additionally store their two forward transcendental factors at
+        compute width so the backward recomputes ONE transcendental (a sin)
+        instead of three (exp + cos + sin) — they are VPU-transcendental-
+        bound (measured: gabor 49.3 ms vs gauss 11.8 ms at 1024x192, and
+        step time tracks the per-element transcendental count)."""
         if activation == "gauss":
             v = W[f"i{key}"][:] ** 2 + 1e-6
             a = jnp.exp(-(x_f32 * x_f32) * v)
-        elif activation == "gabor":
+            return cde(a), (cde(x_f32),)
+        if activation == "gabor":
             v = W[f"i{key}"][:] ** 2 + 1e-6
-            sp = W[f"s{key}"][:]
-            a = jnp.exp(-v * x_f32 * x_f32) * jnp.cos(sp * x_f32)
-        elif activation == "sarf":
+            sp = W[f"s{key}"][:] * gamma
+            e = jnp.exp(-v * x_f32 * x_f32)
+            csx = jnp.cos(sp * x_f32)
+            return cde(e * csx), (cde(x_f32), cde(e), cde(csx))
+        if activation == "sarf":
             f = W[f"i{key}"][:]
             sgn = jnp.where(x_f32 < 0.0, 1.0, -1.0)
             xs = sgn * (jnp.abs(x_f32) + 1e-4)
             u = xs * xs
             denom = u + 1.0 / (f * f)
-            a = jnp.cos(f / denom) * jnp.exp(-u)
-        else:
-            raise ValueError(activation)
-        return cde(a), cde(x_f32)
+            eu = jnp.exp(-u)
+            cth = jnp.cos(gamma * f / denom)
+            return cde(cth * eu), (cde(x_f32), cde(eu), cde(cth))
+        raise ValueError(activation)
 
-    def act_bwd(g, a_cd, x_cd, key):
-        """g wrt act output -> g wrt pre-act; accumulates d(act params)."""
+    def act_stored(x_cd, key):
+        """Recompute act()'s stored tuple from a pre-activation — used by
+        the 1024-wide layer 1_0, which recomputes instead of storing (its
+        stored factors would cost 2 extra (B, 1024) VMEM buffers)."""
+        if activation == "gauss":
+            return (x_cd,)
         xf = x_cd.astype(f32)
+        if activation == "gabor":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            sp = W[f"s{key}"][:] * gamma
+            return (x_cd, cde(jnp.exp(-v * xf * xf)),
+                    cde(jnp.cos(sp * xf)))
+        sgn = jnp.where(xf < 0.0, 1.0, -1.0)
+        xs = sgn * (jnp.abs(xf) + 1e-4)
+        u = xs * xs
+        denom = u + 1.0 / (W[f"i{key}"][:] * W[f"i{key}"][:])
+        return (x_cd, cde(jnp.exp(-u)),
+                cde(jnp.cos(gamma * W[f"i{key}"][:] / denom)))
+
+    def act_bwd(g, a_cd, stored, key):
+        """g wrt act output -> g wrt pre-act; accumulates d(act params)."""
+        xf = stored[0].astype(f32)
         if activation == "gauss":
             v = W[f"i{key}"][:] ** 2 + 1e-6
             ga = g * a_cd.astype(f32)
@@ -169,13 +200,13 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
         if activation == "gabor":
             isd = W[f"i{key}"][:]
             v = isd**2 + 1e-6
-            sp = W[f"s{key}"][:]
-            e = jnp.exp(-v * xf * xf)
-            csx = jnp.cos(sp * xf)
-            ssx = jnp.sin(sp * xf)
+            sp = W[f"s{key}"][:] * gamma
+            e = stored[1].astype(f32)
+            csx = stored[2].astype(f32)
+            ssx = jnp.sin(sp * xf)  # the one recomputed transcendental
             gme = -g * e
             accum(f"i{key}", bsum(gme * xf * xf * csx) * (2.0 * isd))
-            accum(f"s{key}", bsum(gme * xf * ssx))
+            accum(f"s{key}", bsum(gme * xf * ssx) * gamma)
             return gme * (2.0 * csx * v * xf + sp * ssx)
         if activation == "sarf":
             f = W[f"i{key}"][:]
@@ -184,19 +215,20 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
             u = xs * xs
             f2i = 1.0 / (f * f)
             denom = u + f2i
-            theta = f / denom
-            eu = jnp.exp(-u)
-            sth = jnp.sin(theta)
-            # da/du = eu (sin(th) f / denom^2 - cos(th)); du/dx = -2 xs
-            da_du = eu * (sth * f / (denom * denom) - jnp.cos(theta))
-            accum(f"i{key}", bsum(-g * sth * (u + 3.0 * f2i)
+            theta = gamma * f / denom
+            eu = stored[1].astype(f32)
+            cth = stored[2].astype(f32)
+            sth = jnp.sin(theta)  # the one recomputed transcendental
+            # da/du = eu (gamma sin(th) f / denom^2 - cos(th)); du/dx = -2 xs
+            da_du = eu * (gamma * sth * f / (denom * denom) - cth)
+            accum(f"i{key}", bsum(-g * gamma * sth * (u + 3.0 * f2i)
                                   / (denom * denom) * eu))
             return g * da_du * (-2.0 * xs)
         raise ValueError(activation)
 
     # ---- density1: 3 -> 1024 -> 256 -> 128 -> 128, gauss after each ----
     x10 = mm(pos, W["wd1_0"]) + W["bd1_0"][:]
-    a10, _ = act(x10, "1_0")    # pre-act recomputed in bwd (VMEM: 1024-wide)
+    a10, _ = act(x10, "1_0")    # stored tuple recomputed in bwd (VMEM: 1024-wide)
     x11 = mm(a10, W["wd1_1"]) + W["bd1_1"][:]
     a11, x11c = act(x11, "1_1")
     x12 = mm(a11, W["wd1_2"]) + W["bd1_2"][:]
@@ -330,7 +362,8 @@ def _kernel(static, rays_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
     accum("bd1_1", bsum(g_x11))
     # recompute the (B, 1024) pre-activation instead of storing it (VMEM)
     x10r = cde(mm(pos, W["wd1_0"]) + W["bd1_0"][:])
-    g_x10 = act_bwd(mm_t(g_x11, W["wd1_1"]), a10, x10r, "1_0")
+    g_x10 = act_bwd(mm_t(g_x11, W["wd1_1"]), a10, act_stored(x10r, "1_0"),
+                    "1_0")
     accum("wd1_0", outer(pos, g_x10))
     accum("bd1_0", bsum(g_x10))
     d_pos = d_pos + mm_t(g_x10, W["wd1_0"])
@@ -426,6 +459,7 @@ def garf_radiance_train_grads(
     density_scale: float = DENSITY_SCALE,
     tile_rays: int = 0,
     interpret: bool = None,
+    act_anneal=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict, jnp.ndarray, jnp.ndarray]:
     """One fused launch for the radiance half of the GARF step. Returns
     (rgb (N,3), weights (N,S), grads_radiance pytree, d_origs (N,3),
@@ -496,8 +530,9 @@ def garf_radiance_train_grads(
     rows16 = pl.BlockSpec((B, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    in_specs = [rows16]
+    in_specs = [rows16, smem]
     in_specs += [full(x.shape) for x in consts]
     in_specs += [full(x.shape) for x in flat_w]
 
@@ -525,7 +560,8 @@ def garf_radiance_train_grads(
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=compiler_params,
-    )(rays_rows, *consts, *flat_w)
+    )(rays_rows, jnp.asarray(act_anneal, jnp.float32).reshape(1, 1),
+      *consts, *flat_w)
 
     rows = outs[0].reshape(n_pad, S, 16)
     rgb_fine = rows[:n, 0, 0:3]

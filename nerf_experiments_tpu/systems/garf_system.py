@@ -58,6 +58,27 @@ class GarfSystemConfig:
     # (`gaborf/model_gaborf.py:284-303`); 1 = per-step (garf/sarf)
     scheduler_steps_per_period: int = 1
 
+    # Activation coarse-to-fine annealing for the gabor/sarf families: the
+    # oscillation term (gabor spread / sarf cosine phase) is scaled by
+    # gamma(step), ramping 0 -> 1 linearly between the two steps below. At
+    # gamma=0 both activations reduce to a Gaussian bump — the GARF family
+    # member that DOES calibrate cameras (RESULTS.md camera-eps recipe) —
+    # so the high-frequency capacity that lets gabor/sarf absorb pose noise
+    # is unlocked only as the cameras settle. (0, 0) disables (gamma = 1
+    # always; reference semantics — the reference never calibrates these
+    # families, e.g. `sarf/main.py` camera LR 4e-9). Gauss ignores gamma.
+    act_anneal_start_step: int = 0
+    act_anneal_end_step: int = 0
+
+    def act_anneal_at(self, step) -> jnp.ndarray:
+        """gamma(step): linear 0 -> 1 over [start, end); 1.0 when disabled."""
+        if self.act_anneal_end_step <= self.act_anneal_start_step:
+            return jnp.asarray(1.0)
+        span = self.act_anneal_end_step - self.act_anneal_start_step
+        return jnp.clip(
+            (jnp.asarray(step, jnp.float32) - self.act_anneal_start_step)
+            / span, 0.0, 1.0)
+
     # Let the interlevel (proposal) loss backpropagate into the camera
     # extrinsics. True = reference semantics (`barf/model_garf.py:124-156`
     # closures do not detach rays, so nerfacc's prop loss reaches the
@@ -142,6 +163,7 @@ def forward(
     ray_origs: jnp.ndarray,
     ray_dirs: jnp.ndarray,
     stratified: bool,
+    act_anneal=1.0,
 ):
     """GarfModel.forward parity (`model_garf.py:206-249`):
     returns (rgb, opacity, depth, extras) with extras carrying the proposal
@@ -162,7 +184,9 @@ def forward(
     def prop_sigma_fn(ts, te):
         tm = (ts + te)[..., None] / 2.0
         pos = (o_il[:, None] + d_il[:, None] * tm).reshape(-1, 3)
-        return garf.proposal_apply(params["proposal"], cfg.prop_cfg, pos).reshape(ts.shape)
+        return garf.proposal_apply(
+            params["proposal"], cfg.prop_cfg, pos, act_anneal
+        ).reshape(ts.shape)
 
     t_starts, t_ends, aux = proposal.sampling(
         prop_sigma_fns=[prop_sigma_fn],
@@ -180,7 +204,8 @@ def forward(
     dirs_rep = jnp.broadcast_to(
         ray_dirs[:, None, :], (ray_dirs.shape[0], cfg.radiance_samples_per_ray, 3)
     ).reshape(-1, 3)
-    rgb_s, density_s = garf.radiance_apply(params["radiance"], cfg.net, pos, dirs_rep)
+    rgb_s, density_s = garf.radiance_apply(
+        params["radiance"], cfg.net, pos, dirs_rep, act_anneal)
     rgb_s = rgb_s.reshape(t_starts.shape + (3,))
     density_s = density_s.reshape(t_starts.shape)
 
@@ -196,6 +221,7 @@ def loss_fn(
     key: Optional[jax.Array],
     train: bool = True,
     val_gauge=None,
+    act_anneal=1.0,
 ):
     """`_forward_loss` (`model_garf.py:254-295`): interlevel proposal loss on
     detached weights + MSE radiance loss on the SHARP target (garf does not
@@ -209,7 +235,8 @@ def loss_fn(
             batch["origs_raw"], batch["dirs_raw"], val_gauge
         )
 
-    rgb, opacity, depth, extras = forward(params, cfg, key, origs, dirs, stratified=train)
+    rgb, opacity, depth, extras = forward(
+        params, cfg, key, origs, dirs, stratified=train, act_anneal=act_anneal)
     proposal_loss = proposal.compute_loss(extras["proposal_aux"], extras["weights"])
     radiance_loss = jnp.mean((rgb - batch["colors"][:, -1]) ** 2)
 
@@ -228,9 +255,10 @@ def train_step(
     tx: optax.GradientTransformation,
     batch: Dict,
     key: jax.Array,
+    act_anneal=1.0,
 ) -> Tuple[TrainState, Dict]:
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, key, True
+        state.params, cfg, batch, key, True, None, act_anneal
     )
     grads, ok = optim.guard_nonfinite(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -240,7 +268,8 @@ def train_step(
 
 
 def make_train_step(cfg: GarfSystemConfig, tx, donate: bool = True):
-    fn = lambda state, batch, key: train_step(state, cfg, tx, batch, key)
+    fn = lambda state, batch, key, act_anneal=1.0: train_step(
+        state, cfg, tx, batch, key, act_anneal)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -250,6 +279,7 @@ def train_step_fused(
     tx: optax.GradientTransformation,
     batch: Dict,
     key: jax.Array,
+    act_anneal=1.0,
 ) -> Tuple[TrainState, Dict]:
     """One optimization step with the radiance half running through the GARF
     mega-kernel (`ops/garf_megakernel.py`): forward + compositing + MSE grad
@@ -277,7 +307,7 @@ def train_step_fused(
         def prop_sigma_fn(ts, te):
             pos = positions(ts, te).reshape(-1, 3)
             return garf.proposal_apply(
-                prop_params, cfg.prop_cfg, pos).reshape(ts.shape)
+                prop_params, cfg.prop_cfg, pos, act_anneal).reshape(ts.shape)
 
         return proposal.sampling(
             prop_sigma_fns=[prop_sigma_fn],
@@ -302,7 +332,7 @@ def train_step_fused(
     rgb, weights, grads_rad, d_origs, d_dirs = garf_radiance_train_grads(
         state.params["radiance"], cfg.net, origs, dirs,
         jax.lax.stop_gradient(t_starts), jax.lax.stop_gradient(t_ends),
-        targets)
+        targets, act_anneal=act_anneal)
 
     ploss, d_aux = jax.value_and_grad(
         lambda a: proposal.compute_loss(a, weights))(aux)
@@ -331,7 +361,8 @@ def train_step_fused(
 
 
 def make_train_step_fused(cfg: GarfSystemConfig, tx, donate: bool = True):
-    fn = lambda state, batch, key: train_step_fused(state, cfg, tx, batch, key)
+    fn = lambda state, batch, key, act_anneal=1.0: train_step_fused(
+        state, cfg, tx, batch, key, act_anneal)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 

@@ -23,13 +23,13 @@ def _setup(n_rays=5, S=8, seed=0, activation="gauss"):
     return cfg, params, origs, dirs, targets, t_start, t_end
 
 
-def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets):
+def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets, anneal=1.0):
     t_q = (t_start + t_end)[..., None] / 2.0
     pos = (origs[:, None] + dirs[:, None] * t_q).reshape(-1, 3)
     S = t_start.shape[1]
     dirs_rep = jnp.broadcast_to(
         dirs[:, None, :], (dirs.shape[0], S, 3)).reshape(-1, 3)
-    rgb_s, dens_s = garf.radiance_apply(params, cfg, pos, dirs_rep)
+    rgb_s, dens_s = garf.radiance_apply(params, cfg, pos, dirs_rep, anneal)
     rgb, op, depth, extras = render.render_full(
         dens_s.reshape(t_start.shape), rgb_s.reshape(t_start.shape + (3,)),
         t_start, t_end)
@@ -39,20 +39,24 @@ def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets):
 import pytest
 
 
-@pytest.mark.parametrize("activation", ["gauss", "gabor", "sarf"])
-def test_garf_kernel_grads_match_xla(activation):
+@pytest.mark.parametrize("activation,anneal", [
+    ("gauss", 1.0), ("gabor", 1.0), ("sarf", 1.0),
+    ("gabor", 0.37), ("sarf", 0.37),  # activation coarse-to-fine annealing
+])
+def test_garf_kernel_grads_match_xla(activation, anneal):
     cfg, params, origs, dirs, targets, t_start, t_end = _setup(
         activation=activation)
 
     (loss_ref, (rgb_ref, w_ref)), grads_ref = jax.value_and_grad(
-        lambda p, o, d: _ref_loss(p, cfg, o, d, t_start, t_end, targets),
+        lambda p, o, d: _ref_loss(p, cfg, o, d, t_start, t_end, targets,
+                                  anneal),
         argnums=(0, 1, 2), has_aux=True,
     )(params, origs, dirs)
     gp_ref, go_ref, gd_ref = grads_ref
 
     rgb, weights, grads, d_origs, d_dirs = garf_radiance_train_grads(
         params, cfg, origs, dirs, t_start, t_end, targets,
-        tile_rays=4, interpret=True)
+        tile_rays=4, interpret=True, act_anneal=anneal)
 
     np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(weights, w_ref, rtol=1e-5, atol=1e-6)
@@ -65,6 +69,34 @@ def test_garf_kernel_grads_match_xla(activation):
         np.testing.assert_allclose(
             leaf, flat_r[path], rtol=2e-4, atol=1e-6,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_act_anneal_zero_reduces_to_gauss():
+    """gamma=0: gabor == gauss with the same isd (cos(0)=1), and sarf's
+    oscillation flattens to the pure exp(-x'^2) bump."""
+    from nerf_experiments_tpu.encodings.activations import (
+        gabor_from_isd, gauss_from_isd, sarf_act)
+
+    x = jnp.linspace(-3.0, 3.0, 64).reshape(8, 8)
+    isd = jnp.linspace(0.3, 2.0, 8)
+    spread = jnp.linspace(0.5, 6.0, 8)
+    np.testing.assert_allclose(
+        gabor_from_isd(x, isd, spread, anneal=0.0),
+        gauss_from_isd(x, isd), rtol=1e-6)
+    freq = jnp.linspace(0.5, 3.0, 8)
+    xs = jnp.abs(x) + 1e-4
+    np.testing.assert_allclose(
+        sarf_act(x, freq, anneal=0.0), jnp.exp(-(xs ** 2)), rtol=1e-6)
+
+
+def test_act_anneal_schedule():
+    cfg = garf_system.GarfSystemConfig(
+        act_anneal_start_step=100, act_anneal_end_step=300)
+    assert float(cfg.act_anneal_at(0)) == 0.0
+    assert float(cfg.act_anneal_at(200)) == pytest.approx(0.5)
+    assert float(cfg.act_anneal_at(1000)) == 1.0
+    off = garf_system.GarfSystemConfig()
+    assert float(off.act_anneal_at(0)) == 1.0
 
 
 def test_garf_kernel_padding_rays_do_not_contaminate():
