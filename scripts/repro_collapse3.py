@@ -82,9 +82,9 @@ def xla_grads_chunked(params, batch, key, a_pos, a_dir, sigma, n_chunks=2):
     c = n // n_chunks
     acc, losses = None, []
     for i in range(n_chunks):
-        sub = {k: v[i * c:(i + 1) * c] for k, v in batch.items()
-               if hasattr(v, "shape") and v.shape[:1] == (n,)}
-        sub["pixel_width"] = batch["pixel_width"]
+        sub = {k: (v[i * c:(i + 1) * c]
+                   if hasattr(v, "shape") and v.shape[:1] == (n,) else v)
+               for k, v in batch.items()}
         g, loss = xla_chunk_grad(params, sub, key, a_pos, a_dir, sigma)
         losses.append(float(np.asarray(loss)))
         g = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), g)
@@ -118,6 +118,26 @@ def top_diffs(ga, gb, k=12):
         rows.append((rel, nd, na, nb, jax.tree_util.keystr(path)))
     rows.sort(reverse=True)
     return rows[:k]
+
+
+raw = trainer.train_store.camera_origins_raw
+noisy = trainer.train_store.camera_origins_noisy
+pose_fn = jax.jit(lambda p: barf_sys.pose_error_metric(p, raw, noisy))
+
+
+@jax.jit
+def dens_stats(params, batch, a_pos, a_dir):
+    origs, dirs = calibration.training_transform_rays(
+        params["camera"], batch["img_idx"], batch["origs_noisy"],
+        batch["dirs_noisy"])
+    t_start, t_end = sampling.sample_stratified(
+        None, origs.shape[0], cfg.samples_per_ray_radiance, cfg.near,
+        cfg.far, "equidistant", 0.0)
+    dens, _ = barf_sys._eval_model(
+        barf_sys._model_def(cfg.radiance), params["radiance"], origs, dirs,
+        t_start, t_end, batch["pixel_width"], a_pos, a_dir, "middle")
+    return (jnp.max(dens), jnp.mean(dens),
+            jnp.mean((dens < 1e-3).astype(jnp.float32)))
 
 
 # ---- fast-forward to WATCH_FROM ----
@@ -158,8 +178,15 @@ for step in range(WATCH_FROM, WATCH_TO):
                       jax.tree_util.keystr(p))
                      for p, v in jax.tree_util.tree_flatten_with_path(upd)[0]),
                     reverse=True)[:5]
-    print(json.dumps({"step": step, "loss": loss_next,
-                      "top_param_moves": movers}), flush=True)
+    dmax, dmean, dzero = dens_stats(new_state.params, batch,
+                                    scalars[0], scalars[1])
+    print(json.dumps({
+        "step": step, "loss": loss_next, "top_param_moves": movers,
+        "pose_error": float(np.asarray(pose_fn(new_state.params))),
+        "dens_max": float(np.asarray(dmax)),
+        "dens_mean": float(np.asarray(dmean)),
+        "dens_frac_dead": float(np.asarray(dzero)),
+    }), flush=True)
     state = new_state
 
 print("done", flush=True)
