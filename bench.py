@@ -113,6 +113,31 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
         float(r[0, 0])
         out["render_rays_per_sec"] = round(
             batch_size * steps / (time.perf_counter() - t0), 1)
+
+        if barf_sys.use_fused_render(cfg):
+            # forward-only render mega-kernel (serving path). Batch is a free
+            # parameter for serving: bench at 8192 (the XLA path regalloc-
+            # crashes above 2048; the kernel does not).
+            rbatch = int(os.environ.get("BENCH_RENDER_BATCH", 8192))
+            rb = _example_batch(jax.random.PRNGKey(3), rbatch)
+
+            @jax.jit
+            def render_fused(params, origs, dirs, pw):
+                rgb, _ = barf_sys.forward(
+                    params, cfg, None, origs, dirs, pw, scalars[0], scalars[1],
+                    stratified=False, fused=True)
+                return rgb
+
+            r = render_fused(state.params, rb["origs_raw"],
+                             rb["dirs_raw"], rb["pixel_width"])
+            float(r[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                r = render_fused(state.params, rb["origs_raw"],
+                                 rb["dirs_raw"], rb["pixel_width"])
+            float(r[0, 0])
+            out["render_fused_rays_per_sec"] = round(
+                rbatch * steps / (time.perf_counter() - t0), 1)
     return out
 
 

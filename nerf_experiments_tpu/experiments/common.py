@@ -179,6 +179,7 @@ def build_barf_experiment(
     callbacks = []
     train_names, val_names = image_log_names
     if train_names or val_names:
+        fused_render = barf_sys.use_fused_render(cfg)
 
         @jax.jit
         def render_train(params, origs, dirs, pw, img_idx):
@@ -189,7 +190,7 @@ def build_barf_experiment(
                 params, cfg, None, o, d, pw,
                 jnp.asarray(float(getattr(pos_enc, "levels", 0))),
                 jnp.asarray(float(getattr(dir_enc, "levels", 0))),
-                stratified=False,
+                stratified=False, fused=fused_render,
             )
             return jnp.clip(rgb, 0.0, 1.0)
 
@@ -201,7 +202,7 @@ def build_barf_experiment(
                 params, cfg, None, o, d, pw,
                 jnp.asarray(float(getattr(pos_enc, "levels", 0))),
                 jnp.asarray(float(getattr(dir_enc, "levels", 0))),
-                stratified=False,
+                stratified=False, fused=fused_render,
             )
             return jnp.clip(rgb, 0.0, 1.0)
 

@@ -84,6 +84,8 @@ def main(argv=None):
     gauge = jax.jit(lambda p: barf_sys.val_gauge(p, raw, noisy))(state.params)
     gauge = tuple(jax.device_put(g) for g in gauge)
 
+    fused_render = barf_sys.use_fused_render(exp.cfg)
+
     @jax.jit
     def render_chunk(params, gauge, origs, dirs, pw):
         o, d = calibration.validation_transform_rays(origs, dirs, gauge)
@@ -91,7 +93,7 @@ def main(argv=None):
         a_pos = jnp.asarray(float(getattr(enc, "levels", 0)))
         rgb, _ = barf_sys.forward(
             params, exp.cfg, None, o, d, pw, a_pos, jnp.asarray(4.0),
-            stratified=False,
+            stratified=False, fused=fused_render,
         )
         return jnp.clip(rgb, 0.0, 1.0)
 

@@ -408,6 +408,212 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     out_rows_ref[:] = wrgb
 
 
+def _render_kernel(static, rays_ref, apos_ref, adir_ref,
+                   k_ref, m_ref, kx_ref, lt_ref, *refs):
+    """Forward-only sibling of `_kernel` for the inference/serving path
+    (`render_views`, image logger, `bench.py` render metric): rays -> pixels
+    in one launch, no gradient outputs, no stored-activation residency —
+    each layer activation is consumed by the next GEMM, so Mosaic can reuse
+    buffers and the ray tile can be wider than the training kernel's.
+
+    Output block: (T, 128) per tile — cols 0:3 rgb, 3 opacity, 4 depth
+    (nerfacc `rendering` conventions, `ops/render.py:render_full`)."""
+    (S, dscale, cd, n_hidden) = static
+    f32 = jnp.float32
+    L = n_hidden + 1
+    names = _weight_names(n_hidden)
+    W = {nm: refs[i] for i, nm in enumerate(names)}
+    out_ref = refs[len(names)]
+
+    def cde(x):
+        return x.astype(cd) if cd is not None else x
+
+    def _dot(a, b, dims):
+        if cd is None:
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())),
+                preferred_element_type=f32, precision=HIGHEST)
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd), (dims, ((), ())),
+            preferred_element_type=f32)
+
+    def mm(a, w_ref):
+        return _dot(a, w_ref[:], ((1,), (0,)))
+
+    def fdot(a, b_ref):
+        return jax.lax.dot_general(
+            a, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HIGHEST)
+
+    def relu(z):
+        return cde(jnp.maximum(z, 0.0))
+
+    rays = rays_ref[:]             # (B, 8) f32: [pos, dirs, tq, dists]
+    B = rays.shape[0]
+    T = B // S
+    a_pos = apos_ref[0, 0]
+    a_dir = adir_ref[0, 0]
+
+    # ---- combined padded-E encodings (identical to _kernel) ----
+    A = fdot(rays[:, 0:6], k_ref)
+    a_cols = m_ref[3:4] * a_pos + m_ref[4:5] * a_dir
+    ramp = jnp.clip(a_cols - kx_ref[:], 0.0, 1.0)
+    m3 = (1.0 - jnp.cos(ramp * jnp.pi)) / 2.0
+    E = cde(m_ref[0:1] * A + m3 * m_ref[1:2] * jnp.cos(A)
+            + m3 * m_ref[2:3] * jnp.sin(A))
+
+    # ---- MLP forward (no stored activations) ----
+    z = relu(mm(E, W["w0"]) + W["b0"][:])
+    for i in range(1, L):
+        z = relu(mm(z, W[f"w1_{i}"]) + W[f"b1_{i}"][:])
+    s = relu(mm(z, W["w5a"]) + mm(E, W["w5b"]) + W["b5"][:])
+    for i in range(L - 2):
+        s = relu(mm(s, W[f"w2_{i}"]) + W[f"b2_{i}"][:])
+    Dh = W["whd"].shape[1] - 128
+    zhd = mm(s, W["whd"]) + W["bhd"][:]
+    hid = cde(zhd[:, :Dh])
+    dens128 = zhd[:, Dh:]
+    c0 = relu(mm(hid, W["wc0a"]) + mm(E, W["wc0b"]) + W["bc0"][:])
+    logits = mm(c0, W["wc1"]) + W["bc1"][:]
+    rgb128 = jax.nn.sigmoid(logits)
+
+    # ---- compositing in (T, S) planes ----
+    def ts(col):
+        return col.reshape(T, S)
+
+    density_raw = ts(dens128[:, 0:1])
+    density = jnp.where(
+        density_raw > 8.0, density_raw,
+        jax.nn.softplus(jnp.minimum(density_raw, 8.0)))
+    dists = ts(rays[:, 7:8])
+    blocking = -density * dists * dscale
+
+    def mv(m_, v):
+        return jax.lax.dot_general(
+            m_, v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    trans = jnp.exp(mv(blocking, lt_ref[:]))
+    w_ts = trans * (1.0 - jnp.exp(blocking))      # (T, S)
+
+    rgb3 = jnp.concatenate(
+        [jnp.sum(w_ts * ts(rgb128[:, c:c + 1]), axis=-1, keepdims=True)
+         for c in range(3)], axis=-1)             # (T, 3)
+    opacity = jnp.sum(w_ts, axis=-1, keepdims=True)
+    depth = jnp.sum(w_ts * ts(rays[:, 6:7]), axis=-1, keepdims=True)
+    out_ref[:] = jnp.concatenate(
+        [rgb3, opacity, depth, jnp.zeros((T, 123), f32)], axis=-1)
+
+
+def flagship_render(
+    params: Dict,
+    cfg,  # NerfMLPConfig (flagship shape, same gate as flagship_train_grads)
+    origs: jnp.ndarray,      # (N, 3)
+    dirs: jnp.ndarray,       # (N, 3)
+    t_start: jnp.ndarray,    # (N, S)
+    t_end: jnp.ndarray,      # (N, S)
+    alpha_pos,
+    alpha_dir,
+    density_scale: float = DENSITY_SCALE,
+    tile_rays: int = 0,      # 0 => pick from S
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward-only mega-kernel render: (rgb (N,3), opacity (N,1),
+    depth (N,1)) with middle-point integration — the inference-path
+    equivalent of `NerfInterpolation.forward` (`model_interpolation.py:
+    417-486`) with `render_full` compositing conventions. No VJP: eval
+    contexts only."""
+    from nerf_experiments_tpu.encodings.fourier import Barf
+
+    pe, de = cfg.position_encoder, cfg.direction_encoder
+    if not (
+        isinstance(pe, Barf) and isinstance(de, Barf)
+        and pe.include_identity and de.include_identity
+        and cfg.n_segments == 2 and cfg.delayed_direction
+        and not cfg.delayed_density and pe.scale == de.scale
+        and cfg.n_hidden >= 1
+    ):
+        raise ValueError("flagship_render supports the canonical BARF "
+                         "config only")
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+
+    n, S = t_start.shape
+    cd = cfg.compute_dtype
+    import os as _os
+
+    # fwd-only residency is ~2 live (B, D) activations + one (B, 128) E, so
+    # the tile can be 2x the training kernel's (2048 rows validated fastest
+    # on v5e at 256-wide; override with NETPU_RENDER_TILE_ROWS)
+    default_rows = int(_os.environ.get("NETPU_RENDER_TILE_ROWS", 2048))
+    tile = tile_rays or max(1, default_rows // S)
+    pad = (-n) % tile
+    if pad:
+        zp = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        origs, dirs = zp(origs), zp(dirs)
+        t_start, t_end = zp(t_start), zp(t_end)
+        t_end = t_end.at[n:].set(t_start[n:] + 1.0)
+    n_pad = origs.shape[0]
+    B = tile * S
+
+    t_q = (t_start + t_end) / 2.0
+    dists = t_end - t_start
+    f32 = jnp.float32
+    pos_rows = (origs[:, None, :] + t_q[..., None] * dirs[:, None, :]
+                ).reshape(n_pad * S, 3)
+    rays_rows = jnp.concatenate([
+        pos_rows.astype(f32),
+        jnp.broadcast_to(dirs[:, None, :], (n_pad, S, 3)).reshape(-1, 3).astype(f32),
+        t_q.reshape(-1, 1).astype(f32),
+        dists.reshape(-1, 1).astype(f32),
+    ], axis=-1)  # (B_total, 8): [pos, dirs, tq, dists]
+
+    flat_w = _flatten_weights(params, cfg, cd)
+    static = (S, float(density_scale), cd, cfg.n_hidden)
+    kc, mc_, kxc = _enc_tables(pe.levels, float(pe.scale),
+                               de.levels, float(de.scale))
+    i_s, j_s = np.indices((S, S))
+    lt = jnp.asarray((i_s < j_s).astype(np.float32))
+    consts = [kc, mc_, kxc, lt]
+
+    rows8 = pl.BlockSpec((B, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [rows8, smem, smem]
+    in_specs += [full(x.shape) for x in consts]
+    in_specs += [full(x.shape) for x in flat_w]
+
+    vmem_mb = int(_os.environ.get("NETPU_RENDER_VMEM_MB", 0))
+    if not vmem_mb and B > 1024:
+        vmem_mb = 24
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        if vmem_mb else None
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel, static),
+        grid=(pl.cdiv(n_pad, tile),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), f32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(
+        rays_rows,
+        jnp.asarray(alpha_pos, f32).reshape(1, 1),
+        jnp.asarray(alpha_dir, f32).reshape(1, 1),
+        *consts,
+        *flat_w,
+    )[:n]
+    return out[:, 0:3], out[:, 3:4], out[:, 4:5]
+
+
 def _flatten_weights(params: Dict, cfg, cd) -> list:
     """Standard NerfMLP pytree -> the kernel's split/merged/padded flat
     weight list (order = _weight_names).

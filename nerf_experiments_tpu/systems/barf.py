@@ -266,13 +266,32 @@ def forward(
     alpha_dir: Optional[jnp.ndarray] = None,
     pixel_width_sigma: float = 0.0,
     stratified: bool = True,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """(rgb_fine, rgb_coarse|None) — `NerfInterpolation.forward:417-486`."""
+    """(rgb_fine, rgb_coarse|None) — `NerfInterpolation.forward:417-486`.
+
+    fused=True (eval contexts ONLY — no VJP) runs the dense radiance eval
+    through the forward-only render mega-kernel
+    (`ops/train_megakernel.py:flagship_render`); requires
+    `can_fuse_train_step(cfg)`."""
     n_rays = ray_origs.shape[0]
     strategy = cfg.uniform_sampling_strategy if stratified else "equidistant"
     offset = cfg.uniform_sampling_offset_size if stratified else 0.0
     needs_key = strategy == "stratified_uniform" or offset != 0.0
     k1 = key if needs_key else None
+
+    if fused and not cfg.use_proposal:
+        from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+        t_start, t_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_radiance, cfg.near, cfg.far,
+            strategy, offset,
+        )
+        rgb_fine, _, _ = flagship_render(
+            params["radiance"], _model_def(cfg.radiance).cfg,
+            ray_origs, ray_dirs, t_start, t_end, alpha_pos, alpha_dir,
+        )
+        return rgb_fine, None
 
     if cfg.use_proposal:
         tc_start, tc_end = sampling.sample_stratified(
@@ -457,6 +476,18 @@ def can_fuse_train_step(cfg: BarfConfig) -> bool:
         and not model.delayed_density and pe.scale == de.scale
         and model.n_hidden >= 1
         and cfg.integration_strategy == "middle"
+    )
+
+
+def use_fused_render(cfg: BarfConfig) -> bool:
+    """True when eval rendering should route through the forward-only render
+    mega-kernel: flagship dense config, on TPU, Pallas not disabled."""
+    import os
+
+    return (
+        not os.environ.get("NETPU_NO_FUSED_RENDER")
+        and can_fuse_train_step(cfg)
+        and render.use_pallas_renderer()
     )
 
 

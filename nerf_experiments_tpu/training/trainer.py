@@ -36,6 +36,23 @@ class TrainerConfig:
     checkpoint_every_n_epochs: Optional[float] = None
     seed: int = 0
     max_steps: Optional[int] = None  # overrides epochs when set
+    # Divergence rollback (self-healing, SURVEY §5.3): NeRF training can
+    # fall off a finite loss cliff into a gradient-dead basin (density
+    # blow-up -> transmittance underflow -> grads ~1e-11 while Adam
+    # momentum coasts; no NaN, so guard_nonfinite never trips — observed
+    # at 256²/batch-8192, RESULTS.md "collapse"). The guard keeps an
+    # in-memory snapshot and, when the loss stays above
+    # rollback_spike_factor × its pre-spike EMA for rollback_patience
+    # consecutive steps, restores the snapshot and perturbs the batch key
+    # stream so the replay takes a different trajectory. This generalizes
+    # the reference's self-repairing PDF sampler
+    # (`barf/model_interpolation.py:233-276`) to the training level.
+    rollback_enabled: bool = True
+    rollback_spike_factor: float = 20.0
+    rollback_patience: int = 10
+    rollback_snapshot_every_n_steps: int = 1000
+    rollback_max: int = 8
+    rollback_warmup_steps: int = 500  # no trigger before the EMA settles
 
 
 class Trainer:
@@ -73,6 +90,18 @@ class Trainer:
         # scalars for offline analysis.
         self._postmortem_done = False
         self._pending_finite: List = []  # (step, key, scalars, grads_finite)
+        # divergence rollback state (see TrainerConfig): losses are buffered
+        # as DEVICE scalars and fetched once per log interval — a per-step
+        # float() would add a host sync per step
+        self._pending_losses: List = []
+        self._ref_loss: Optional[float] = None  # EMA of non-spiking losses
+        self._spike_run = 0  # consecutive spiking steps at the buffer tail
+        self._rollbacks = 0
+        self._snapshot = None  # (step, state copy)
+        import jax.numpy as _jnp
+
+        self._copy_state = jax.jit(
+            lambda s: jax.tree_util.tree_map(_jnp.copy, s))
         self._last_pose_step = -(10 ** 12)  # first log step always records
         self.steps_per_epoch = max(1, train_store.n_rays // cfg.batch_size)
 
@@ -132,6 +161,9 @@ class Trainer:
         # ints — folding -step overflows uint32).
         base_key, val_base_key = jax.random.split(jax.random.PRNGKey(cfg.seed))
         self._base_key = base_key
+        self._base_key0 = base_key
+        if cfg.rollback_enabled and self._snapshot is None:
+            self._snapshot = (int(state.step), self._copy_state(state))
         total_steps = (
             cfg.max_steps
             if cfg.max_steps is not None
@@ -160,6 +192,8 @@ class Trainer:
                 self._pending_finite.append(
                     (step - 1, scalars, metrics["grads_finite"])
                 )
+            if cfg.rollback_enabled and "loss" in metrics:
+                self._pending_losses.append(metrics["loss"])
 
             if step % cfg.log_every_n_steps == 0 or step == total_steps:
                 row = {k: v for k, v in metrics.items()}
@@ -181,6 +215,9 @@ class Trainer:
                     self._last_pose_step = step
                     row["pose_error"] = float(np.asarray(self.pose_error_fn(state.params)))
                 self.metric_logger.log(row, step)
+                if cfg.rollback_enabled:
+                    state, step = self._rollback_check(state, step)
+                    base_key = self._base_key
 
             for cb in self.callbacks:
                 cb(self, state, step, epoch_frac)
@@ -206,6 +243,62 @@ class Trainer:
             f"swap_train_colors shape/dtype mismatch: {colors.shape} vs {old.shape}"
         )
         self._train_arrays = dict(self._train_arrays, colors=colors)
+
+    def _rollback_check(self, state, step: int):
+        """Divergence rollback (TrainerConfig.rollback_*): fetch the buffered
+        per-step losses in ONE transfer, run the spike detector, and on a
+        sustained divergence restore the snapshot and perturb the batch key
+        stream (fold_in(base0, n_rollbacks)) so the replay takes a different
+        trajectory through the cliff region. Returns (state, step), possibly
+        rewound."""
+        cfg = self.cfg
+        if not self._pending_losses:
+            return state, step
+        import jax.numpy as jnp
+
+        losses = np.asarray(jnp.stack(self._pending_losses), np.float64)
+        self._pending_losses.clear()
+        triggered = False
+        for v in losses:
+            spiking = (not np.isfinite(v)) or (
+                self._ref_loss is not None
+                and v > cfg.rollback_spike_factor * self._ref_loss
+            )
+            if spiking:
+                self._spike_run += 1
+            else:
+                self._spike_run = 0
+                self._ref_loss = (
+                    float(v) if self._ref_loss is None
+                    else 0.99 * self._ref_loss + 0.01 * float(v))
+            if (self._spike_run >= cfg.rollback_patience
+                    and step > cfg.rollback_warmup_steps
+                    and self._snapshot is not None
+                    and self._rollbacks < cfg.rollback_max):
+                triggered = True
+        if triggered:
+            self._rollbacks += 1
+            snap_step, snap_state = self._snapshot
+            self._base_key = jax.random.fold_in(
+                self._base_key0, self._rollbacks)
+            self.metric_logger.log({
+                "rollback": float(self._rollbacks),
+                "rollback_from_step": float(step),
+                "rollback_to_step": float(snap_step),
+                "rollback_ref_loss": float(self._ref_loss or -1.0),
+            }, step)
+            self._spike_run = 0
+            self._pending_finite.clear()
+            # hand back a COPY: the snapshot itself must survive the fused
+            # step's buffer donation on the next iteration
+            return self._copy_state(snap_state), snap_step
+        if (self._spike_run == 0 and self._snapshot is not None
+                and step - self._snapshot[0]
+                >= cfg.rollback_snapshot_every_n_steps):
+            # healthy interval: move the snapshot forward so a later
+            # rollback replays as little as possible
+            self._snapshot = (step, self._copy_state(state))
+        return state, step
 
     def _check_postmortem(self, train_arrays) -> None:
         """Scan the buffered grads_finite flags (one stacked transfer per log

@@ -147,3 +147,73 @@ def test_rejects_non_flagship_config():
     with pytest.raises(ValueError):
         flagship_train_grads(params, cfg, origs, dirs, t_start, t_end,
                              targets, 1.0, 1.0, interpret=True)
+
+
+def test_render_kernel_matches_xla_forward():
+    """flagship_render (forward-only mega-kernel) vs the XLA eval path on
+    identical t bins: rgb / opacity / depth parity (render_full conventions)."""
+    from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+    cfg = _cfg(n_hidden=2)
+    params, origs, dirs, _, t_start, t_end = _setup(cfg, n_rays=8, S=8)
+    a_pos, a_dir = jnp.asarray(2.5), jnp.asarray(1.25)
+    pw = jnp.full((origs.shape[0], 1), 1e-3)
+
+    dens, rgb_s = _eval_model(
+        NerfMLPDef(cfg), params, origs, dirs, t_start, t_end, pw,
+        a_pos, a_dir, "middle")
+    rgb_ref, opac_ref, depth_ref, _ = render.render_full(
+        dens, rgb_s, t_start, t_end)
+
+    rgb, opac, depth = flagship_render(
+        params, cfg, origs, dirs, t_start, t_end, a_pos, a_dir,
+        tile_rays=4, interpret=True)
+    np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(opac, opac_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(depth, depth_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_render_kernel_ray_padding():
+    """n_rays not divisible by the tile: padded rays must not leak."""
+    from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+    cfg = _cfg()
+    params, origs, dirs, _, t_start, t_end = _setup(cfg, n_rays=7, S=8)
+    a = jnp.asarray(2.0)
+    rgb_pad, _, _ = flagship_render(
+        params, cfg, origs, dirs, t_start, t_end, a, a,
+        tile_rays=4, interpret=True)
+    rgb_one, _, _ = flagship_render(
+        params, cfg, origs, dirs, t_start, t_end, a, a,
+        tile_rays=1, interpret=True)
+    assert rgb_pad.shape == (7, 3)
+    np.testing.assert_allclose(rgb_pad, rgb_one, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_fused_dispatch_matches():
+    """systems.barf.forward(fused=True) == forward(fused=False) on the
+    deterministic eval path (equidistant sampling, no key)."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    mlp = _cfg(n_hidden=2)
+    cfg = barf_sys.BarfConfig(
+        radiance=mlp, n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+    )
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    n = 6
+    dirs = jax.random.normal(ks[0], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origs = jax.random.normal(ks[1], (n, 3)) * 0.3
+    pw = jnp.full((n, 1), 1e-3)
+    a_pos, a_dir = jnp.asarray(3.0), jnp.asarray(1.5)
+
+    rgb_ref, _ = barf_sys.forward(
+        state.params, cfg, None, origs, dirs, pw, a_pos, a_dir,
+        stratified=False)
+    rgb_fused, coarse = barf_sys.forward(
+        state.params, cfg, None, origs, dirs, pw, a_pos, a_dir,
+        stratified=False, fused=True)
+    assert coarse is None
+    np.testing.assert_allclose(rgb_fused, rgb_ref, rtol=1e-5, atol=1e-6)

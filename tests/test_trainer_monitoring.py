@@ -128,3 +128,85 @@ def test_no_postmortem_when_finite(tmp_path):
     tr = _make_trainer(tmp_path, step_fn, max_steps=10)
     tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
     assert not glob.glob(os.path.join(str(tmp_path), "postmortem_*.npz"))
+
+
+def _rollback_cfg(**kw):
+    base = dict(
+        max_steps=60, batch_size=8, log_every_n_steps=5,
+        val_every_n_epochs=1e9, rollback_enabled=True,
+        rollback_spike_factor=20.0, rollback_patience=3,
+        rollback_snapshot_every_n_steps=10, rollback_max=2,
+        rollback_warmup_steps=5,
+    )
+    base.update(kw)
+    return TrainerConfig(**base)
+
+
+def _cliff_step_fn(state, batch, key):
+    # deterministic loss cliff: the scalar param counts steps; past 30 the
+    # loss jumps 1e-3 -> 1.0 (1000x the pre-spike EMA)
+    p = state.params["w"] + 1.0
+    loss = jnp.where(p > 30.0, 1.0, 1e-3)
+    return TinyState(params={"w": p}, step=state.step + 1), {"loss": loss}
+
+
+def test_rollback_on_sustained_spike(tmp_path):
+    tr = Trainer(
+        cfg=_rollback_cfg(),
+        train_store=_store(),
+        step_fn=_cliff_step_fn,
+        scalar_fn=lambda step, ef: (),
+        metric_logger=MetricLogger(str(tmp_path)),
+    )
+    base0 = jax.random.split(jax.random.PRNGKey(tr.cfg.seed))[0]
+    final = tr.fit(TinyState(params={"w": jnp.asarray(0.0)}, step=jnp.asarray(0)))
+    rows = _rows(tmp_path)
+    rb = [r for r in rows if "rollback" in r]
+    # the cliff is deterministic in the step index, so every replay re-dives:
+    # exactly rollback_max rollbacks, then training runs through to the end
+    assert [r["rollback"] for r in rb] == [1.0, 2.0]
+    # the snapshot had moved forward to the last healthy log step (30),
+    # not stayed at 0
+    assert all(r["rollback_to_step"] == 30.0 for r in rb)
+    assert all(r["rollback_from_step"] >= 33.0 for r in rb)
+    # each rollback perturbs the batch key stream
+    assert not np.array_equal(np.asarray(tr._base_key), np.asarray(base0))
+    # training completed despite the rollbacks (step counts the replays from
+    # the restored snapshot state)
+    assert int(final.step) == 60
+
+
+def test_no_rollback_on_healthy_run(tmp_path):
+    def step_fn(state, batch, key):
+        # loss drifts smoothly downward with mild noise
+        loss = 1e-2 / (1.0 + 0.1 * state.params["w"]) + 1e-4 * jnp.mean(batch["colors"])
+        return (
+            TinyState(params={"w": state.params["w"] + 1.0}, step=state.step + 1),
+            {"loss": loss},
+        )
+
+    tr = Trainer(
+        cfg=_rollback_cfg(),
+        train_store=_store(),
+        step_fn=step_fn,
+        scalar_fn=lambda step, ef: (),
+        metric_logger=MetricLogger(str(tmp_path)),
+    )
+    final = tr.fit(TinyState(params={"w": jnp.asarray(0.0)}, step=jnp.asarray(0)))
+    assert not [r for r in _rows(tmp_path) if "rollback" in r]
+    assert int(final.step) == 60
+    assert tr._rollbacks == 0
+
+
+def test_rollback_disabled(tmp_path):
+    tr = Trainer(
+        cfg=_rollback_cfg(rollback_enabled=False),
+        train_store=_store(),
+        step_fn=_cliff_step_fn,
+        scalar_fn=lambda step, ef: (),
+        metric_logger=MetricLogger(str(tmp_path)),
+    )
+    final = tr.fit(TinyState(params={"w": jnp.asarray(0.0)}, step=jnp.asarray(0)))
+    assert not [r for r in _rows(tmp_path) if "rollback" in r]
+    # without the guard the run marches straight through the cliff
+    assert int(final.step) == 60 and float(final.params["w"]) == 60.0
