@@ -161,16 +161,41 @@ def bench_garf(batch_size, steps, compute_dtype, fused=False,
     step = make(cfg, tx, donate=True)
     batch = _example_batch(jax.random.PRNGKey(1), batch_size)
     keys = jax.random.split(jax.random.PRNGKey(2), steps + 5)
-    dt, _ = _time_steps(step, state, batch, (), keys, steps)
-    return {
+    # rebind state: the train step donates its inputs, so the original
+    # params buffers are deleted after the first step
+    dt, state = _time_steps(step, state, batch, (), keys, steps)
+    out = {
         "rays_per_sec": round(batch_size * steps / dt, 1),
         "step_ms": round(1000 * dt / steps, 3),
         "batch_size": batch_size,
         "samples": "64 proposal + 192 radiance (lindisp)",
     }
 
+    if fused and garf_system.use_fused_render(cfg):
+        # forward-only render mega-kernel (serving path): XLA proposal
+        # stage + Pallas radiance eval. Batch is free for serving.
+        rbatch = int(os.environ.get("BENCH_RENDER_BATCH", 8192))
+        rb = _example_batch(jax.random.PRNGKey(3), rbatch)
 
-def bench_ingp(batch_size, steps, compute_dtype, samples=64):
+        @jax.jit
+        def render_fused(params, origs, dirs):
+            rgb, _, _, _ = garf_system.forward(
+                params, cfg, None, origs, dirs, stratified=False, fused=True)
+            return rgb
+
+        r = render_fused(state.params, rb["origs_raw"], rb["dirs_raw"])
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = render_fused(state.params, rb["origs_raw"], rb["dirs_raw"])
+        float(r[0, 0])
+        out["render_fused_rays_per_sec"] = round(
+            rbatch * steps / (time.perf_counter() - t0), 1)
+    return out
+
+
+def bench_ingp(batch_size, steps, compute_dtype, samples=64,
+               n_levels=16, n_features=2):
     from nerf_experiments_tpu.experiments.run_3d_ingp import IngpModelDef
     from nerf_experiments_tpu.models import ingp
     from nerf_experiments_tpu.ops import hashgrid
@@ -178,7 +203,7 @@ def bench_ingp(batch_size, steps, compute_dtype, samples=64):
     from __graft_entry__ import _example_batch
 
     grid = hashgrid.HashGridConfig(
-        dim=3, n_levels=16, n_features=2, table_size=2 ** 16,
+        dim=3, n_levels=n_levels, n_features=n_features, table_size=2 ** 16,
         resolution_min=16, resolution_max=512,
     )
     model = IngpModelDef(
@@ -240,6 +265,12 @@ def main():
             ("ingp", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype)),
+            # fewer/wider levels amortize the gather transaction (L*F fixed
+            # at 32): 3.9x throughput at -4.7 dB short-horizon quality
+            # (scripts/study_ingp_wide.py, RESULTS.md)
+            ("ingp_wide", lambda: bench_ingp(
+                int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                compute_dtype, n_levels=4, n_features=8)),
         ]:
             try:
                 detail[name] = fn()

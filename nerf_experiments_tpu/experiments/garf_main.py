@@ -241,6 +241,8 @@ def build(args):
 
     # full-image reconstruction logging (`garf/image_logger.py` parity):
     # train images through the learned extrinsics, val through the gauge
+    fused_render = garf_system.use_fused_render(cfg)
+
     @jax.jit
     def render_garf_train(params, origs, dirs, img_idx):
         from nerf_experiments_tpu.cameras import calibration
@@ -249,7 +251,8 @@ def build(args):
             params["camera"], jnp.full((origs.shape[0],), img_idx, jnp.int32),
             origs, dirs,
         )
-        rgb, _, _, _ = garf_system.forward(params, cfg, None, o, d, stratified=False)
+        rgb, _, _, _ = garf_system.forward(
+            params, cfg, None, o, d, stratified=False, fused=fused_render)
         return jnp.clip(rgb, 0.0, 1.0)
 
     @jax.jit
@@ -258,7 +261,8 @@ def build(args):
 
         gauge = calibration.post_transform_params(params["camera"], raw, noisy)
         o, d = calibration.validation_transform_rays(origs, dirs, gauge)
-        rgb, _, _, _ = garf_system.forward(params, cfg, None, o, d, stratified=False)
+        rgb, _, _, _ = garf_system.forward(
+            params, cfg, None, o, d, stratified=False, fused=fused_render)
         return jnp.clip(rgb, 0.0, 1.0)
 
     def garf_render_fn(params, origs, dirs, pw, train_space, img_idx):

@@ -373,6 +373,200 @@ def _kernel(static, rays_ref, an_ref, lt_ref, ut_ref, e_ref, f_ref, *refs):
          d_pos, d_dirs_rep, w_row, jnp.zeros((B, 6), f32)], axis=-1)
 
 
+def _render_kernel(static, rays_ref, an_ref, lt_ref, e_ref, f_ref, *refs):
+    """Forward-only sibling of `_kernel` for the GARF/GaborF/SARF serving
+    path (image logger, render_views, bench): rays -> pixels in one launch,
+    no gradient outputs and no stored activation tuples — each layer's
+    activation is consumed by the next GEMM, so the ray tile can be ~2x the
+    training kernel's at the same VMEM cap.
+
+    Output block: (T, 128) per tile — cols 0:3 rgb, 3 opacity, 4 depth
+    (nerfacc `rendering` conventions, `ops/render.py:render_full`)."""
+    (S, dscale, cd, activation) = static
+    f32 = jnp.float32
+    names = _names(activation)
+    W = {nm: refs[i] for i, nm in enumerate(names)}
+    out_ref = refs[len(names)]
+    gamma = an_ref[0, 0]
+
+    def cde(x):
+        return x.astype(cd) if cd is not None else x
+
+    def mm(a, w_ref):
+        if cd is None:
+            return jax.lax.dot_general(
+                a, w_ref[:], ((((1,), (0,))), ((), ())),
+                preferred_element_type=f32, precision=HIGHEST)
+        return jax.lax.dot_general(
+            a.astype(cd), w_ref[:].astype(cd), ((((1,), (0,))), ((), ())),
+            preferred_element_type=f32)
+
+    rays = rays_ref[:]             # (B, 8) f32: [pos, dirs, tq, dists]
+    pos = rays[:, 0:3]
+    dirs = rays[:, 3:6]
+    e_mat = e_ref[:]               # (B, T)
+    f_mat = f_ref[:]               # (B, S)
+
+    def act(x_f32, key):
+        """Forward-only activation family (see `_kernel.act` for formulas)."""
+        if activation == "gauss":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            return cde(jnp.exp(-(x_f32 * x_f32) * v))
+        if activation == "gabor":
+            v = W[f"i{key}"][:] ** 2 + 1e-6
+            sp = W[f"s{key}"][:] * gamma
+            return cde(jnp.exp(-v * x_f32 * x_f32) * jnp.cos(sp * x_f32))
+        if activation == "sarf":
+            f = W[f"i{key}"][:]
+            xs = jnp.abs(x_f32) + 1e-4  # sign cancels in xs^2
+            u = xs * xs
+            return cde(jnp.cos(gamma * f / (u + 1.0 / (f * f)))
+                       * jnp.exp(-u))
+        raise ValueError(activation)
+
+    # ---- forward chain (no stored activations) ----
+    a10 = act(mm(pos, W["wd1_0"]) + W["bd1_0"][:], "1_0")
+    a11 = act(mm(a10, W["wd1_1"]) + W["bd1_1"][:], "1_1")
+    a12 = act(mm(a11, W["wd1_2"]) + W["bd1_2"][:], "1_2")
+    z1 = act(mm(a12, W["wd1_3"]) + W["bd1_3"][:], "1_3")
+    a20 = act(mm(z1, W["wd2_0a"]) + mm(pos, W["wd2_0x"]) + W["bd2_0"][:],
+              "2_0")
+    a21 = act(mm(a20, W["wd2_1"]) + W["bd2_1"][:], "2_1")
+    a22 = act(mm(a21, W["wd2_2"]) + W["bd2_2"][:], "2_2")
+    z2m = mm(a22, W["wd2_3m"]) + W["bd2_3"][:]
+    ci = cde(z1.astype(f32) + z2m[:, :128])
+    a30 = act(mm(ci, W["wc0a"]) + mm(dirs, W["wc0x"]) + W["bc0"][:], "c0")
+    rgb128 = jax.nn.sigmoid(mm(a30, W["wc1"]) + W["bc1"][:])
+
+    # ---- compositing in (T, S) planes (reshape-free, see module doc) ----
+    def ts(col):
+        return jax.lax.dot_general(
+            e_mat, col * f_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mv(m_, v):
+        return jax.lax.dot_general(
+            m_, v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    density_sh = ts(z2m[:, 128:129]) - 1.0  # softplus8(z - 1)
+    density = jnp.where(
+        density_sh > 8.0, density_sh,
+        jax.nn.softplus(jnp.minimum(density_sh, 8.0)))
+    dists = ts(rays[:, 7:8])
+    t_q = ts(rays[:, 6:7])
+    blocking = -density * dists * dscale
+    trans = jnp.exp(mv(blocking, lt_ref[:]))
+    w_ts = trans * (1.0 - jnp.exp(blocking))  # (T, S)
+
+    rgb3 = jnp.concatenate(
+        [jnp.sum(w_ts * ts(rgb128[:, c:c + 1]), axis=-1, keepdims=True)
+         for c in range(3)], axis=-1)
+    opacity = jnp.sum(w_ts, axis=-1, keepdims=True)
+    depth = jnp.sum(w_ts * t_q, axis=-1, keepdims=True)
+    T = w_ts.shape[0]
+    out_ref[:] = jnp.concatenate(
+        [rgb3, opacity, depth, jnp.zeros((T, 123), f32)], axis=-1)
+
+
+def garf_radiance_render(
+    params: Dict,             # radiance pytree
+    cfg,                      # GarfConfig (for compute_dtype / activation)
+    origs: jnp.ndarray,       # (N, 3)
+    dirs: jnp.ndarray,        # (N, 3)
+    t_start: jnp.ndarray,     # (N, S)
+    t_end: jnp.ndarray,       # (N, S)
+    act_anneal=1.0,
+    density_scale: float = DENSITY_SCALE,
+    tile_rays: int = 0,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward-only mega-kernel render of the GARF radiance network on
+    given t bins: (rgb (N,3), opacity (N,1), depth (N,1)) with middle-point
+    integration — the serving-path equivalent of `GarfModel.forward`
+    (`model_garf.py:206-249`) minus the proposal stage (whose t bins the
+    caller provides). No VJP: eval contexts only."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+
+    import os as _os
+
+    n, S = t_start.shape
+    cd = cfg.compute_dtype
+    default_rows = int(_os.environ.get("NETPU_GARF_RENDER_TILE_ROWS", 1536))
+    tile = tile_rays or max(1, default_rows // S)
+    pad = (-n) % tile
+    if pad:
+        zp = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        origs, dirs = zp(origs), zp(dirs)
+        t_start, t_end = zp(t_start), zp(t_end)
+        t_end = t_end.at[n:].set(t_start[n:] + 1.0)
+    n_pad = origs.shape[0]
+    B = tile * S
+
+    t_q = (t_start + t_end) / 2.0
+    dists = t_end - t_start
+    f32 = jnp.float32
+    pos_rows = (origs[:, None, :] + t_q[..., None] * dirs[:, None, :]
+                ).reshape(n_pad * S, 3)
+    rays_rows = jnp.concatenate([
+        pos_rows.astype(f32),
+        jnp.broadcast_to(dirs[:, None, :],
+                         (n_pad, S, 3)).reshape(-1, 3).astype(f32),
+        t_q.reshape(-1, 1).astype(f32),
+        dists.reshape(-1, 1).astype(f32),
+    ], axis=-1)  # (B_total, 8): [pos, dirs, tq, dists]
+
+    activation = getattr(cfg, "activation", "gauss")
+    flat_w = _flatten_weights(params, cd, activation)
+    static = (S, float(density_scale), cd, activation)
+
+    i_s, j_s = np.indices((S, S))
+    lt = jnp.asarray((i_s < j_s).astype(np.float32))
+    i_b = np.arange(B)
+    e_mat = jnp.asarray((i_b[:, None] // S == np.arange(tile)[None, :])
+                        .astype(np.float32))
+    f_mat = jnp.asarray((i_b[:, None] % S == np.arange(S)[None, :])
+                        .astype(np.float32))
+    consts = [lt, e_mat, f_mat]
+
+    rows8 = pl.BlockSpec((B, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [rows8, smem]
+    in_specs += [full(x.shape) for x in consts]
+    in_specs += [full(x.shape) for x in flat_w]
+
+    vmem_mb = int(_os.environ.get("NETPU_GARF_RENDER_VMEM_MB", 0))
+    if not vmem_mb and B > 768:
+        vmem_mb = 24
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        if vmem_mb else None
+    )
+    out = pl.pallas_call(
+        functools.partial(_render_kernel, static),
+        grid=(pl.cdiv(n_pad, tile),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), f32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(
+        rays_rows,
+        jnp.asarray(act_anneal, jnp.float32).reshape(1, 1),
+        *consts,
+        *flat_w,
+    )[:n]
+    return out[:, 0:3], out[:, 3:4], out[:, 4:5]
+
+
 def _flatten_weights(params: Dict, cd, activation: str) -> list:
     """Radiance pytree (`models/garf.py:radiance_init`) -> the kernel's
     split/merged/padded flat list (order = _names(activation))."""

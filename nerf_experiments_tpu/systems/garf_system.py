@@ -164,10 +164,16 @@ def forward(
     ray_dirs: jnp.ndarray,
     stratified: bool,
     act_anneal=1.0,
+    fused: bool = False,
 ):
     """GarfModel.forward parity (`model_garf.py:206-249`):
     returns (rgb, opacity, depth, extras) with extras carrying the proposal
-    histograms + final weights for the interlevel loss."""
+    histograms + final weights for the interlevel loss.
+
+    fused=True (eval contexts ONLY — no VJP, extras lacks the interlevel
+    weights) runs the radiance eval + compositing through the forward-only
+    render mega-kernel (`ops/garf_megakernel.py:garf_radiance_render`);
+    the proposal stage (~3% of the FLOPs) stays in XLA."""
 
     def positions(ts, te):
         tm = (ts + te)[..., None] / 2.0
@@ -200,6 +206,15 @@ def forward(
         key=key,
     )
 
+    if fused:
+        from nerf_experiments_tpu.ops.garf_megakernel import (
+            garf_radiance_render)
+
+        rgb, opacity, depth = garf_radiance_render(
+            params["radiance"], cfg.net, ray_origs, ray_dirs,
+            t_starts, t_ends, act_anneal=act_anneal)
+        return rgb, opacity, depth, {"proposal_aux": aux}
+
     pos = positions(t_starts, t_ends).reshape(-1, 3)
     dirs_rep = jnp.broadcast_to(
         ray_dirs[:, None, :], (ray_dirs.shape[0], cfg.radiance_samples_per_ray, 3)
@@ -212,6 +227,18 @@ def forward(
     rgb, opacity, depth, extras = render.render_full_auto(density_s, rgb_s, t_starts, t_ends)
     extras["proposal_aux"] = aux
     return rgb, opacity, depth, extras
+
+
+def use_fused_render(cfg: GarfSystemConfig) -> bool:
+    """True when eval rendering should route through the forward-only GARF
+    render mega-kernel: on TPU, Pallas not disabled (the kernel supports all
+    three activation families and the fixed GARF architecture)."""
+    import os
+
+    return (
+        not os.environ.get("NETPU_NO_FUSED_RENDER")
+        and render.use_pallas_renderer()
+    )
 
 
 def loss_fn(

@@ -152,3 +152,70 @@ def test_fused_step_matches_autodiff_step():
         np.testing.assert_allclose(
             a, b, rtol=5e-4, atol=1e-6,
             err_msg=f"param mismatch at {jax.tree_util.keystr(p)}")
+
+
+@pytest.mark.parametrize("activation,anneal", [
+    ("gauss", 1.0), ("gabor", 0.37), ("sarf", 0.37),
+])
+def test_render_kernel_matches_xla_forward(activation, anneal):
+    """garf_radiance_render (forward-only mega-kernel) vs the XLA eval path
+    on identical t bins: rgb / opacity / depth parity."""
+    from nerf_experiments_tpu.ops.garf_megakernel import garf_radiance_render
+
+    cfg, params, origs, dirs, _, t_start, t_end = _setup(
+        activation=activation)
+    t_q = (t_start + t_end)[..., None] / 2.0
+    pos = (origs[:, None] + dirs[:, None] * t_q).reshape(-1, 3)
+    S = t_start.shape[1]
+    dirs_rep = jnp.broadcast_to(
+        dirs[:, None, :], (dirs.shape[0], S, 3)).reshape(-1, 3)
+    rgb_s, dens_s = garf.radiance_apply(params, cfg, pos, dirs_rep, anneal)
+    rgb_ref, op_ref, depth_ref, _ = render.render_full(
+        dens_s.reshape(t_start.shape), rgb_s.reshape(t_start.shape + (3,)),
+        t_start, t_end)
+
+    rgb, op, depth = garf_radiance_render(
+        params, cfg, origs, dirs, t_start, t_end, act_anneal=anneal,
+        tile_rays=2, interpret=True)
+    np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(op, op_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(depth, depth_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_render_kernel_ray_padding():
+    """n_rays not divisible by the tile: padded rays must not leak."""
+    from nerf_experiments_tpu.ops.garf_megakernel import garf_radiance_render
+
+    cfg, params, origs, dirs, _, t_start, t_end = _setup(n_rays=5)
+    rgb_pad, _, _ = garf_radiance_render(
+        params, cfg, origs, dirs, t_start, t_end, tile_rays=2,
+        interpret=True)
+    rgb_one, _, _ = garf_radiance_render(
+        params, cfg, origs, dirs, t_start, t_end, tile_rays=5,
+        interpret=True)
+    assert rgb_pad.shape == (5, 3)
+    np.testing.assert_allclose(rgb_pad, rgb_one, rtol=1e-5, atol=1e-6)
+
+
+def test_system_forward_fused_dispatch_matches():
+    """garf_system.forward(fused=True) == forward(fused=False) on the
+    deterministic eval path (same proposal bins, no key)."""
+    cfg = garf_system.GarfSystemConfig(
+        n_train_images=4, near=2.0, far=6.0,
+        proposal_samples_per_ray=8, radiance_samples_per_ray=8,
+    )
+    state = garf_system.init(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    n = 5
+    dirs = jax.random.normal(ks[0], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origs = jax.random.normal(ks[1], (n, 3)) * 0.3
+
+    rgb_ref, op_ref, depth_ref, _ = garf_system.forward(
+        state.params, cfg, None, origs, dirs, stratified=False)
+    rgb, op, depth, extras = garf_system.forward(
+        state.params, cfg, None, origs, dirs, stratified=False, fused=True)
+    assert "proposal_aux" in extras
+    np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(op, op_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(depth, depth_ref, rtol=1e-5, atol=1e-6)
