@@ -259,9 +259,18 @@ def main():
                                               compute_dtype, fused=True)),
             ("proposal_barf", lambda: bench_barf(batch_size, samples, steps,
                                                  compute_dtype, proposal=True)),
+            # hierarchical recipe through the mega-kernel: XLA coarse stage
+            # (64-sample small net) + 128-sample radiance in the kernel
+            ("proposal_fused", lambda: bench_barf(fused_batch, samples, steps,
+                                                  compute_dtype, fused=True,
+                                                  proposal=True)),
             ("garf", lambda: bench_garf(garf_batch, steps, compute_dtype)),
-            ("garf_fused", lambda: bench_garf(garf_batch, steps, compute_dtype,
-                                              fused=True)),
+            # the fused GARF step amortizes its fixed estimator overhead over
+            # larger batches (validated clean at 4096-8192; the XLA step is
+            # regalloc-bound above ~4096)
+            ("garf_fused", lambda: bench_garf(
+                int(os.environ.get("BENCH_GARF_FUSED_BATCH", 4096)), steps,
+                compute_dtype, fused=True)),
             ("ingp", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype)),

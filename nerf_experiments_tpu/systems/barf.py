@@ -293,6 +293,37 @@ def forward(
         )
         return rgb_fine, None
 
+    if fused and cfg.use_proposal:
+        # hierarchical eval: coarse stage in XLA (small net / few samples),
+        # fine radiance eval + compositing through the render mega-kernel
+        from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+        tc_start, tc_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far,
+            strategy, offset,
+        )
+        prop_params = params.get("proposal", params["radiance"])
+        prop_model = _model_def(
+            cfg.proposal if cfg.proposal is not None else cfg.radiance)
+        if cfg.share_proposal_net:
+            prop_params, prop_model = params["radiance"], _model_def(cfg.radiance)
+        dens_c, rgb_c_samples = _eval_model(
+            prop_model, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
+            pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy,
+            pixel_width_sigma,
+        )
+        rgb_coarse, weights = render.render_rays_auto(
+            dens_c, rgb_c_samples, tc_end - tc_start)
+        tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
+            tc_start, tc_end, jax.lax.stop_gradient(weights),
+            cfg.samples_per_ray_radiance, cfg.far,
+        )
+        rgb_fine, _, _ = flagship_render(
+            params["radiance"], _model_def(cfg.radiance).cfg,
+            ray_origs, ray_dirs, tf_start, tf_end, alpha_pos, alpha_dir,
+        )
+        return rgb_fine, rgb_coarse
+
     if cfg.use_proposal:
         tc_start, tc_end = sampling.sample_stratified(
             k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far, strategy, offset
@@ -405,17 +436,24 @@ def train_step_fused(
     jax.value_and_grad for the radiance net. Camera gradients chain through
     jax.vjp of the ray transform using the kernel's d_origs/d_dirs.
 
-    Numerically equivalent to train_step for the flagship dense config
-    (verified in tests/test_train_megakernel.py); requires the canonical
-    architecture and no proposal stage.
+    Numerically equivalent to train_step for the flagship radiance
+    architecture, dense or hierarchical (verified in
+    tests/test_train_megakernel.py).
 
     With `axis_name` (inside shard_map): the batch is the LOCAL ray shard;
     grads/loss are pmean'd over the data axis before the (replicated)
     optimizer update, and the sampling key is decorrelated per shard.
+
+    Hierarchical configs (`cfg.use_proposal`) run the coarse stage in XLA
+    under jax.vjp — the proposal net is small (or evaluated at few samples),
+    so its forward+backward is a minor cost — and route the dominant
+    128-sample radiance pass through the kernel. Gradient-exact vs
+    `train_step` because the fine t bins are stop-gradded in both paths:
+    radiance <- fine MSE only (kernel), proposal <- coarse MSE only (XLA
+    vjp), camera <- sum of both photometric paths.
     """
     from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
 
-    assert not cfg.use_proposal, "fused train step is dense-path only"
     params = state.params
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -432,10 +470,49 @@ def train_step_fused(
     strategy = cfg.uniform_sampling_strategy
     offset = cfg.uniform_sampling_offset_size
     needs_key = strategy == "stratified_uniform" or offset != 0.0
-    t_start, t_end = sampling.sample_stratified(
-        key if needs_key else None, n_rays, cfg.samples_per_ray_radiance,
-        cfg.near, cfg.far, strategy, offset,
-    )
+    k1 = key if needs_key else None
+
+    loss_coarse = None
+    g_prop = g_origs_c = g_dirs_c = None
+    shared_prop = cfg.use_proposal and "proposal" not in params
+    if cfg.use_proposal:
+        prop_model = _model_def(
+            cfg.radiance if shared_prop or cfg.proposal is None
+            else cfg.proposal)
+        prop_params = params["radiance"] if shared_prop else params["proposal"]
+        tc_start, tc_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far,
+            strategy, offset,
+        )
+
+        def coarse_stage(prop_p, origs_, dirs_):
+            dens_c, rgb_c_samples = _eval_model(
+                prop_model, prop_p, origs_, dirs_, tc_start, tc_end,
+                batch["pixel_width"], alpha_pos, alpha_dir,
+                cfg.integration_strategy,
+            )
+            rgb_c, weights = render.render_rays_auto(
+                dens_c, rgb_c_samples, tc_end - tc_start)
+            return rgb_c, weights
+
+        (rgb_coarse, weights), coarse_vjp = jax.vjp(
+            coarse_stage, prop_params, origs, dirs)
+        loss_coarse = jnp.mean((rgb_coarse - target) ** 2)
+        d_rgb_c = (cfg.coarse_loss_weight * 2.0 / rgb_coarse.size
+                   ) * (rgb_coarse - target)
+        g_prop, g_origs_c, g_dirs_c = coarse_vjp(
+            (d_rgb_c, jnp.zeros_like(weights)))
+        t_start, t_end = sampling.sample_pdf_weighted_intervals(
+            tc_start, tc_end, jax.lax.stop_gradient(weights),
+            cfg.samples_per_ray_radiance, cfg.far,
+        )
+        t_start = jax.lax.stop_gradient(t_start)
+        t_end = jax.lax.stop_gradient(t_end)
+    else:
+        t_start, t_end = sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_radiance,
+            cfg.near, cfg.far, strategy, offset,
+        )
 
     import os
 
@@ -445,14 +522,30 @@ def train_step_fused(
         alpha_pos, alpha_dir,
         tile_rays=int(os.environ.get("NETPU_TRAIN_TILE", 0)),
     )
+    if cfg.use_proposal:
+        d_origs = d_origs + g_origs_c
+        d_dirs = d_dirs + g_dirs_c
+        if shared_prop:
+            grads_rad = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(a.dtype), grads_rad, g_prop)
     (d_camera,) = vjp_cam((d_origs, d_dirs))
     grads = {"radiance": grads_rad, "camera": d_camera}
+    if cfg.use_proposal and not shared_prop:
+        grads["proposal"] = g_prop
 
-    loss = jnp.mean((rgb_fine - target) ** 2)
+    loss_fine = jnp.mean((rgb_fine - target) ** 2)
+    loss = loss_fine
+    if loss_coarse is not None:
+        loss = loss + cfg.coarse_loss_weight * loss_coarse
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
+        loss_fine = jax.lax.pmean(loss_fine, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
-    metrics = {"loss_fine": loss, "psnr": psnr(loss), "loss": loss}
+        if loss_coarse is not None:
+            loss_coarse = jax.lax.pmean(loss_coarse, axis_name)
+    metrics = {"loss_fine": loss_fine, "psnr": psnr(loss_fine), "loss": loss}
+    if loss_coarse is not None:
+        metrics["loss_coarse"] = loss_coarse
 
     grads, ok = optim.guard_nonfinite(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -462,11 +555,15 @@ def train_step_fused(
 
 
 def can_fuse_train_step(cfg: BarfConfig) -> bool:
-    """True when the fused mega-kernel covers this config exactly."""
+    """True when the fused mega-kernel covers this config exactly.
+
+    The kernel evaluates the RADIANCE pass (the dominant cost); hierarchical
+    configs are supported too — their coarse/proposal stage runs in XLA
+    (any model def), the PDF-resampled fine pass through the kernel."""
     from nerf_experiments_tpu.encodings.fourier import Barf
 
     model = cfg.radiance if isinstance(cfg.radiance, nerf_mlp.NerfMLPConfig) else None
-    if model is None or cfg.use_proposal:
+    if model is None:
         return False
     pe, de = model.position_encoder, model.direction_encoder
     return (

@@ -217,3 +217,87 @@ def test_forward_fused_dispatch_matches():
         stratified=False, fused=True)
     assert coarse is None
     np.testing.assert_allclose(rgb_fused, rgb_ref, rtol=1e-5, atol=1e-6)
+
+
+def _batch(n, n_imgs=4, seed=1):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    dirs = jax.random.normal(ks[0], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return {
+        "origs_raw": jax.random.normal(ks[1], (n, 3)) * 0.3,
+        "origs_noisy": jax.random.normal(ks[1], (n, 3)) * 0.3,
+        "dirs_raw": dirs,
+        "dirs_noisy": dirs,
+        "colors": jax.random.uniform(ks[2], (n, 2, 3)),
+        "img_idx": jax.random.randint(ks[3], (n,), 0, n_imgs),
+        "pixel_width": jnp.full((n, 1), 1e-3),
+    }, ks[4]
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_fused_train_step_matches_standard_proposal(shared):
+    """Hierarchical-config parity: the fused step (XLA coarse stage + fine
+    radiance through the kernel) == train_step, for both a separate proposal
+    net and the MipNeRF shared-net arrangement."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    cfg = barf_sys.BarfConfig(
+        radiance=_cfg(n_hidden=2, hidden_dim=32),
+        proposal=None if shared else _cfg(n_hidden=1, hidden_dim=16),
+        share_proposal_net=shared,
+        n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+        samples_per_ray_proposal=4,
+        coarse_loss_weight=0.1 if shared else 1.0,
+        uniform_sampling_strategy="equidistant",
+        uniform_sampling_offset_size=0.0,
+    )
+    assert barf_sys.can_fuse_train_step(cfg)
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+    tx = barf_sys.make_optimizer(cfg, state.params)
+    batch, key = _batch(16)
+    a_pos, a_dir, sigma = jnp.asarray(2.0), jnp.asarray(1.0), jnp.asarray(0.0)
+
+    s_ref, m_ref = barf_sys.train_step(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma)
+    s_fused, m_fused = barf_sys.train_step_fused(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma)
+
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_fused["loss_coarse"]),
+                               float(m_ref["loss_coarse"]), rtol=1e-5)
+    for k_leaf, r_leaf in zip(jax.tree_util.tree_leaves(s_fused.params),
+                              jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(k_leaf, r_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_forward_fused_dispatch_matches_proposal():
+    """systems.barf.forward(fused=True) == forward(fused=False) on the
+    deterministic hierarchical eval path."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    cfg = barf_sys.BarfConfig(
+        radiance=_cfg(n_hidden=2, hidden_dim=32),
+        proposal=_cfg(n_hidden=1, hidden_dim=16),
+        n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+        samples_per_ray_proposal=4,
+    )
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    n = 6
+    dirs = jax.random.normal(ks[0], (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origs = jax.random.normal(ks[1], (n, 3)) * 0.3
+    pw = jnp.full((n, 1), 1e-3)
+    a_pos, a_dir = jnp.asarray(3.0), jnp.asarray(1.5)
+
+    rgb_ref, coarse_ref = barf_sys.forward(
+        state.params, cfg, None, origs, dirs, pw, a_pos, a_dir,
+        stratified=False)
+    rgb_fused, coarse_fused = barf_sys.forward(
+        state.params, cfg, None, origs, dirs, pw, a_pos, a_dir,
+        stratified=False, fused=True)
+    np.testing.assert_allclose(coarse_fused, coarse_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rgb_fused, rgb_ref, rtol=1e-5, atol=1e-6)
