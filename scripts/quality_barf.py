@@ -14,6 +14,8 @@ from nerf_experiments_tpu.data import synthetic
 
 SIZE = int(os.environ.get("Q_SIZE", 160))
 STEPS = int(os.environ.get("Q_STEPS", 60000))
+BATCH = int(os.environ.get("Q_BATCH", 1024))
+FUSED = os.environ.get("Q_FUSED", "0") != "0"
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_barf_joint")
 
@@ -23,9 +25,9 @@ if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
 
 from nerf_experiments_tpu.experiments import run_barf  # noqa: E402
 
-state = run_barf.main([
+state = run_barf.main((["--fused_kernel"] if FUSED else []) + [
     "--scene_path", SCENE, "--image_size", str(SIZE),
-    "--batch_size", "1024", "--max_steps", str(STEPS),
+    "--batch_size", str(BATCH), "--max_steps", str(STEPS),
     "--samples_per_ray", "128", "--samples_per_ray_proposal", "64",
     "--camera_origin_noise_sigma", "0.15",
     "--camera_rotation_noise_sigma", "0.15",
