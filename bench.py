@@ -94,6 +94,30 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
         "step_ms": round(1000 * dt / steps, 3),
         "batch_size": batch_size,
     }
+    if fused and proposal:
+        # serving path for the hierarchical config: XLA coarse stage
+        # (64-sample small net) + fused radiance render at the same S
+        rbatch = int(os.environ.get("BENCH_RENDER_BATCH", 8192))
+        rb = _example_batch(jax.random.PRNGKey(3), rbatch)
+
+        @jax.jit
+        def render_fused(params, origs, dirs, pw):
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, origs, dirs, pw, scalars[0], scalars[1],
+                stratified=False, fused=True)
+            return rgb
+
+        r = render_fused(state.params, rb["origs_raw"], rb["dirs_raw"],
+                         rb["pixel_width"])
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = render_fused(state.params, rb["origs_raw"], rb["dirs_raw"],
+                             rb["pixel_width"])
+        float(r[0, 0])
+        out["render_fused_rays_per_sec"] = round(
+            rbatch * steps / (time.perf_counter() - t0), 1)
+
     if not fused and not proposal:
         # render/inference throughput on the same model
         @jax.jit
@@ -264,6 +288,14 @@ def main():
             ("proposal_fused", lambda: bench_barf(fused_batch, samples, steps,
                                                   compute_dtype, fused=True,
                                                   proposal=True)),
+            # the NORTH-STAR throughput config: 64-sample small proposal net
+            # + 32-sample radiance through the mega-kernel. Quality validated
+            # in scripts/study_nsamples.py (RESULTS.md): hierarchical S=32
+            # holds novel-view PSNR within ~1 dB of dense-128 on the study
+            # scene at a fraction of the MLP work.
+            ("north_star_S32", lambda: bench_barf(
+                fused_batch, 32, steps, compute_dtype, fused=True,
+                proposal=True)),
             ("garf", lambda: bench_garf(garf_batch, steps, compute_dtype)),
             # the fused GARF step amortizes its fixed estimator overhead over
             # larger batches (validated clean at 4096-8192; the XLA step is

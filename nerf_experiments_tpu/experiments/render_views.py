@@ -39,6 +39,7 @@ def parse_args(argv=None):
         "--start_blur_sigma", "--n_blur_sigmas", "--samples_per_ray",
         "--samples_per_ray_proposal", "--hidden_dim", "--n_hidden",
         "--n_segments", "--fourier_levels_pos", "--fourier_levels_dir",
+        "--proposal_hidden_dim", "--proposal_n_hidden",
     ]
     defaults = run_barf.parse_args([])
     for flag in run_barf_args:
@@ -61,6 +62,8 @@ def main(argv=None):
         "--samples_per_ray_proposal", str(args.samples_per_ray_proposal),
         "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
         "--n_segments", str(args.n_segments),
+        "--proposal_hidden_dim", str(args.proposal_hidden_dim),
+        "--proposal_n_hidden", str(args.proposal_n_hidden),
         "--checkpoint_every_n_epochs", "0",
         "--seed", str(args.seed), "--out_dir", args.out_dir,
     ] + (["--bf16"] if args.bf16 else []))

@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--optimize_camera", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--samples_per_ray", type=int, default=128)
     p.add_argument("--samples_per_ray_proposal", type=int, default=0)
+    # size of the dedicated proposal (coarse) net. 0 = same architecture as
+    # the radiance net (the reference's coarse/fine arrangement,
+    # `model_interpolation.py:93-104`). A small density-oriented net (e.g.
+    # 64x1) is the fast hierarchical recipe (`garf/model_proposal.py:10-77`
+    # uses a smaller coarse net too) — the north-star throughput config.
+    p.add_argument("--proposal_hidden_dim", type=int, default=0)
+    p.add_argument("--proposal_n_hidden", type=int, default=1)
     p.add_argument("--lr_decay_end_step", type=int, default=200_000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--n_hidden", type=int, default=4)
@@ -103,8 +110,23 @@ def build(args) -> common.BarfExperiment:
         compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
     )
 
+    proposal = None
+    if args.samples_per_ray_proposal > 0 and args.proposal_hidden_dim > 0:
+        proposal = nerf_mlp.NerfMLPConfig(
+            position_encoder=Barf(levels=args.fourier_levels_pos, **enc_kwargs),
+            direction_encoder=Barf(levels=args.fourier_levels_dir, **enc_kwargs),
+            n_hidden=args.proposal_n_hidden,
+            hidden_dim=args.proposal_hidden_dim,
+            delayed_direction=args.delayed_direction,
+            delayed_density=args.delayed_density, n_segments=1,
+            learning_rate_start=5e-4, learning_rate_stop=1e-5,
+            learning_rate_decay_end=args.lr_decay_end_step,
+            compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
+        )
+
     cfg = barf_sys.BarfConfig(
         radiance=radiance,
+        proposal=proposal,
         n_training_images=dm.n_training_images,
         near=2.0, far=8.0,
         samples_per_ray_radiance=args.samples_per_ray,

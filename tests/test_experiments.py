@@ -2,6 +2,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -281,6 +282,42 @@ class TestResumeAndRender:
         assert summary["mean_psnr"] > 8.0, summary
         renders = os.listdir(os.path.join(out, "renders"))
         assert len(renders) == 2
+
+    def test_small_proposal_net_config(self, scene_dir, tmp_path):
+        """The north-star hierarchical config: a dedicated small proposal
+        net (--proposal_hidden_dim) guiding a low-sample radiance pass,
+        reconstructed identically by render_views from the checkpoint."""
+        from nerf_experiments_tpu.experiments import render_views, run_barf
+
+        out = str(tmp_path / "run")
+        flags = [
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--samples_per_ray", "8", "--samples_per_ray_proposal", "12",
+            "--proposal_hidden_dim", "16", "--proposal_n_hidden", "1",
+            "--hidden_dim", "32", "--n_hidden", "1",
+            "--camera_origin_noise_sigma", "0.0",
+            "--camera_rotation_noise_sigma", "0.0",
+        ]
+        state = run_barf.main(flags + [
+            "--batch_size", "128", "--max_steps", "100",
+            "--no-optimize_camera",
+            "--alpha_decay_start_step", "0", "--alpha_decay_end_step", "1",
+            "--checkpoint_every_n_epochs", "1",
+            "--out_dir", out,
+        ])
+        # the dedicated proposal net exists and is smaller than radiance
+        assert "proposal" in state.params
+        w = jax.tree_util.tree_leaves(state.params["proposal"])
+        assert max(x.shape[-1] for x in w) <= 16 + 1
+        rows = _metrics(out)
+        assert all(np.isfinite(r["loss"]) for r in rows if "loss" in r)
+        summary = render_views.main(flags + [
+            "--ckpt_dir", os.path.join(out, "ckpt"),
+            "--batch_size", "128",
+            "--split", "test", "--n_images", "1", "--chunk", "288",
+            "--out_dir", out,
+        ])
+        assert summary["mean_psnr"] > 8.0, summary
 
 
 class TestSamplingAblation:
