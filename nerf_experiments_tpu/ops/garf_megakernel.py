@@ -495,8 +495,16 @@ def garf_radiance_render(
 
     n, S = t_start.shape
     cd = cfg.compute_dtype
+    family = getattr(cfg, "activation", "gauss")
     default_rows = int(_os.environ.get("NETPU_GARF_RENDER_TILE_ROWS", 1536))
     tile = tile_rays or max(1, default_rows // S)
+    # Mosaic requires the (tile, 128) output block's sublane dim % 8 == 0;
+    # gabor/sarf keep ~1.6x more live transcendental temporaries per layer
+    # than gauss (exp AND cos factors: 38.75M scoped VMEM at 8-ray tiles vs
+    # gauss under 24M), so they get a raised cap below instead of a smaller
+    # tile (4-ray tiles are not lowerable).
+    if not interpret:
+        tile = max(8, tile - tile % 8)
     pad = (-n) % tile
     if pad:
         zp = lambda x: jnp.concatenate(
@@ -544,7 +552,9 @@ def garf_radiance_render(
 
     vmem_mb = int(_os.environ.get("NETPU_GARF_RENDER_VMEM_MB", 0))
     if not vmem_mb and B > 768:
-        vmem_mb = 24
+        # 40M validated on v5e for gabor/sarf at 8-ray tiles (measured: both
+        # compile and run; gauss stays at the 24M validated cap)
+        vmem_mb = 24 if family == "gauss" else 40
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
         if vmem_mb else None
