@@ -402,9 +402,13 @@ def _kernel(static, rays_ref, apos_ref, adir_ref,
     dxd = enc_bwd(g_E)                            # (B, 6) = [d_pos, d_dirs]
     d_pos = dxd[:, 0:3]
     d_dirs_rep = dxd[:, 3:6]
+    # col 9 = per-sample compositing weight w (already in row space): the
+    # hierarchical path feeds it to the inverse-CDF fine resampler, making
+    # a COARSE stage through this kernel a drop-in for the XLA proposal
+    # stage (weights are stop-gradded by the caller, as in both paths).
     wrgb = jnp.concatenate(
         [mv(e_mat, jnp.concatenate(rgb_fine, axis=-1)),       # per-ray rgb
-         d_pos, d_dirs_rep, jnp.zeros((B, 7), f32)], axis=-1)
+         d_pos, d_dirs_rep, w_row, jnp.zeros((B, 6), f32)], axis=-1)
     out_rows_ref[:] = wrgb
 
 
@@ -417,8 +421,10 @@ def _render_kernel(static, rays_ref, apos_ref, adir_ref,
     buffers and the ray tile can be wider than the training kernel's.
 
     Output block: (T, 128) per tile — cols 0:3 rgb, 3 opacity, 4 depth
-    (nerfacc `rendering` conventions, `ops/render.py:render_full`)."""
-    (S, dscale, cd, n_hidden) = static
+    (nerfacc `rendering` conventions, `ops/render.py:render_full`); with
+    with_weights (S <= 123) cols 5:5+S carry the per-sample compositing
+    weights for the hierarchical serving path's fine resampler."""
+    (S, dscale, cd, n_hidden, with_weights) = static
     f32 = jnp.float32
     L = n_hidden + 1
     names = _weight_names(n_hidden)
@@ -500,8 +506,13 @@ def _render_kernel(static, rays_ref, apos_ref, adir_ref,
          for c in range(3)], axis=-1)             # (T, 3)
     opacity = jnp.sum(w_ts, axis=-1, keepdims=True)
     depth = jnp.sum(w_ts * ts(rays[:, 6:7]), axis=-1, keepdims=True)
-    out_ref[:] = jnp.concatenate(
-        [rgb3, opacity, depth, jnp.zeros((T, 123), f32)], axis=-1)
+    if with_weights:
+        out_ref[:] = jnp.concatenate(
+            [rgb3, opacity, depth, w_ts, jnp.zeros((T, 123 - S), f32)],
+            axis=-1)
+    else:
+        out_ref[:] = jnp.concatenate(
+            [rgb3, opacity, depth, jnp.zeros((T, 123), f32)], axis=-1)
 
 
 def flagship_render(
@@ -516,12 +527,15 @@ def flagship_render(
     density_scale: float = DENSITY_SCALE,
     tile_rays: int = 0,      # 0 => pick from S
     interpret: bool = None,
+    return_weights: bool = False,  # requires S <= 123
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward-only mega-kernel render: (rgb (N,3), opacity (N,1),
     depth (N,1)) with middle-point integration — the inference-path
     equivalent of `NerfInterpolation.forward` (`model_interpolation.py:
     417-486`) with `render_full` compositing conventions. No VJP: eval
-    contexts only."""
+    contexts only. return_weights=True appends the (N, S) compositing
+    weights (hierarchical serving: coarse stage in this kernel, weights to
+    the fine resampler)."""
     from nerf_experiments_tpu.encodings.fourier import Barf
 
     pe, de = cfg.position_encoder, cfg.direction_encoder
@@ -542,6 +556,8 @@ def flagship_render(
 
     n, S = t_start.shape
     cd = cfg.compute_dtype
+    if return_weights and S > 123:
+        raise ValueError("return_weights needs S <= 123 (output-block lanes)")
     import os as _os
 
     # fwd-only residency is ~2 live (B, D) activations + one (B, 128) E, so
@@ -549,6 +565,9 @@ def flagship_render(
     # on v5e at 256-wide; override with NETPU_RENDER_TILE_ROWS)
     default_rows = int(_os.environ.get("NETPU_RENDER_TILE_ROWS", 2048))
     tile = tile_rays or max(1, default_rows // S)
+    if not interpret:
+        # Mosaic: the (tile, 128) output block's sublane dim must be % 8
+        tile = max(8, tile - tile % 8)
     pad = (-n) % tile
     if pad:
         zp = lambda x: jnp.concatenate(
@@ -572,7 +591,7 @@ def flagship_render(
     ], axis=-1)  # (B_total, 8): [pos, dirs, tq, dists]
 
     flat_w = _flatten_weights(params, cfg, cd)
-    static = (S, float(density_scale), cd, cfg.n_hidden)
+    static = (S, float(density_scale), cd, cfg.n_hidden, bool(return_weights))
     kc, mc_, kxc = _enc_tables(pe.levels, float(pe.scale),
                                de.levels, float(de.scale))
     i_s, j_s = np.indices((S, S))
@@ -611,6 +630,8 @@ def flagship_render(
         *consts,
         *flat_w,
     )[:n]
+    if return_weights:
+        return out[:, 0:3], out[:, 3:4], out[:, 4:5], out[:, 5:5 + S]
     return out[:, 0:3], out[:, 3:4], out[:, 4:5]
 
 
@@ -708,10 +729,18 @@ def flagship_train_grads(
     density_scale: float = DENSITY_SCALE,
     tile_rays: int = 0,      # 0 => pick from S
     interpret: bool = None,  # None => interpret everywhere except real TPU
+    loss_scale: float = 1.0,  # coarse stages: cfg.coarse_loss_weight
+    return_weights: bool = False,
 ) -> Tuple[jnp.ndarray, Dict, jnp.ndarray, jnp.ndarray]:
     """One fused launch: returns (rgb_fine (N,3), grads_radiance pytree,
-    d_origs (N,3), d_dirs (N,3)) for loss = mean((rgb - target)^2) over
-    (N, 3). Middle-point integration (`integration_strategy="middle"`)."""
+    d_origs (N,3), d_dirs (N,3)) for loss = loss_scale * mean((rgb -
+    target)^2) over (N, 3). Middle-point integration
+    (`integration_strategy="middle"`).
+
+    With return_weights=True a 5th output is appended: the per-sample
+    compositing weights (N, S) — this is how a hierarchical COARSE stage
+    runs through the kernel (loss_scale = coarse_loss_weight, weights feed
+    the inverse-CDF fine resampler)."""
     from nerf_experiments_tpu.encodings.fourier import Barf
 
     pe, de = cfg.position_encoder, cfg.direction_encoder
@@ -779,7 +808,8 @@ def flagship_train_grads(
 
     flat_w = _flatten_weights(params, cfg, cd)
     static = (
-        S, float(density_scale), 1.0 / (n * 3.0), cd, cfg.n_hidden,
+        S, float(density_scale), float(loss_scale) / (n * 3.0), cd,
+        cfg.n_hidden,
         int(os.environ.get("NETPU_TRAIN_FWD_ONLY", 0)),
     )
 
@@ -848,4 +878,6 @@ def flagship_train_grads(
     # match the pytree's leaf dtypes (optax requires grads dtype == param dtype)
     grads = jax.tree_util.tree_map(
         lambda g, p: g.astype(p.dtype), grads, params)
+    if return_weights:
+        return rgb_fine, grads, d_origs, d_dirs, rows[:, :, 9]
     return rgb_fine, grads, d_origs, d_dirs

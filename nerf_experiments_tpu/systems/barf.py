@@ -294,8 +294,11 @@ def forward(
         return rgb_fine, None
 
     if fused and cfg.use_proposal:
-        # hierarchical eval: coarse stage in XLA (small net / few samples),
-        # fine radiance eval + compositing through the render mega-kernel
+        # hierarchical eval: coarse stage in XLA by default (measured faster
+        # for small proposal nets — see _fusable_coarse_cfg), through the
+        # forward render kernel under NETPU_FUSED_COARSE (weights come back
+        # in the output block); fine radiance eval + compositing through
+        # the render mega-kernel either way
         from nerf_experiments_tpu.ops.train_megakernel import flagship_render
 
         tc_start, tc_end = sampling.sample_stratified(
@@ -307,13 +310,20 @@ def forward(
             cfg.proposal if cfg.proposal is not None else cfg.radiance)
         if cfg.share_proposal_net:
             prop_params, prop_model = params["radiance"], _model_def(cfg.radiance)
-        dens_c, rgb_c_samples = _eval_model(
-            prop_model, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
-            pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy,
-            pixel_width_sigma,
-        )
-        rgb_coarse, weights = render.render_rays_auto(
-            dens_c, rgb_c_samples, tc_end - tc_start)
+        coarse_cfg = _fusable_coarse_cfg(cfg)
+        if coarse_cfg is not None and cfg.samples_per_ray_proposal <= 123:
+            rgb_coarse, _, _, weights = flagship_render(
+                prop_params, coarse_cfg, ray_origs, ray_dirs,
+                tc_start, tc_end, alpha_pos, alpha_dir, return_weights=True,
+            )
+        else:
+            dens_c, rgb_c_samples = _eval_model(
+                prop_model, prop_params, ray_origs, ray_dirs, tc_start,
+                tc_end, pixel_width, alpha_pos, alpha_dir,
+                cfg.integration_strategy, pixel_width_sigma,
+            )
+            rgb_coarse, weights = render.render_rays_auto(
+                dens_c, rgb_c_samples, tc_end - tc_start)
         tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
@@ -445,12 +455,13 @@ def train_step_fused(
     optimizer update, and the sampling key is decorrelated per shard.
 
     Hierarchical configs (`cfg.use_proposal`) run the coarse stage in XLA
-    under jax.vjp — the proposal net is small (or evaluated at few samples),
-    so its forward+backward is a minor cost — and route the dominant
-    128-sample radiance pass through the kernel. Gradient-exact vs
-    `train_step` because the fine t bins are stop-gradded in both paths:
-    radiance <- fine MSE only (kernel), proposal <- coarse MSE only (XLA
-    vjp), camera <- sum of both photometric paths.
+    under jax.vjp by default — measured FASTER than a second kernel launch
+    for the small proposal net (see `_fusable_coarse_cfg`); NETPU_FUSED_COARSE
+    routes it through the kernel instead (loss grad scaled by
+    coarse_loss_weight in-kernel, compositing weights returned for the fine
+    resampler). Gradient-exact vs `train_step` either way because the fine t
+    bins are stop-gradded in both paths: radiance <- fine MSE only,
+    proposal <- coarse MSE only, camera <- sum of both photometric paths.
     """
     from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
 
@@ -472,6 +483,8 @@ def train_step_fused(
     needs_key = strategy == "stratified_uniform" or offset != 0.0
     k1 = key if needs_key else None
 
+    import os
+
     loss_coarse = None
     g_prop = g_origs_c = g_dirs_c = None
     shared_prop = cfg.use_proposal and "proposal" not in params
@@ -485,23 +498,39 @@ def train_step_fused(
             strategy, offset,
         )
 
-        def coarse_stage(prop_p, origs_, dirs_):
-            dens_c, rgb_c_samples = _eval_model(
-                prop_model, prop_p, origs_, dirs_, tc_start, tc_end,
-                batch["pixel_width"], alpha_pos, alpha_dir,
-                cfg.integration_strategy,
+        coarse_cfg = _fusable_coarse_cfg(cfg)
+        if coarse_cfg is not None:
+            # coarse stage through the mega-kernel too: one small launch
+            # returns rgb_coarse, proposal grads (in-kernel MSE grad scaled
+            # by coarse_loss_weight), geometry grads for the camera chain,
+            # AND the compositing weights for the fine resampler — the
+            # whole XLA coarse fwd+vjp disappears.
+            (rgb_coarse, g_prop, g_origs_c, g_dirs_c,
+             weights) = flagship_train_grads(
+                prop_params, coarse_cfg, origs, dirs, tc_start, tc_end,
+                target, alpha_pos, alpha_dir,
+                loss_scale=cfg.coarse_loss_weight,
+                tile_rays=int(os.environ.get("NETPU_COARSE_TILE", 0)),
+                return_weights=True,
             )
-            rgb_c, weights = render.render_rays_auto(
-                dens_c, rgb_c_samples, tc_end - tc_start)
-            return rgb_c, weights
+        else:
+            def coarse_stage(prop_p, origs_, dirs_):
+                dens_c, rgb_c_samples = _eval_model(
+                    prop_model, prop_p, origs_, dirs_, tc_start, tc_end,
+                    batch["pixel_width"], alpha_pos, alpha_dir,
+                    cfg.integration_strategy,
+                )
+                rgb_c, weights = render.render_rays_auto(
+                    dens_c, rgb_c_samples, tc_end - tc_start)
+                return rgb_c, weights
 
-        (rgb_coarse, weights), coarse_vjp = jax.vjp(
-            coarse_stage, prop_params, origs, dirs)
+            (rgb_coarse, weights), coarse_vjp = jax.vjp(
+                coarse_stage, prop_params, origs, dirs)
+            d_rgb_c = (cfg.coarse_loss_weight * 2.0 / rgb_coarse.size
+                       ) * (rgb_coarse - target)
+            g_prop, g_origs_c, g_dirs_c = coarse_vjp(
+                (d_rgb_c, jnp.zeros_like(weights)))
         loss_coarse = jnp.mean((rgb_coarse - target) ** 2)
-        d_rgb_c = (cfg.coarse_loss_weight * 2.0 / rgb_coarse.size
-                   ) * (rgb_coarse - target)
-        g_prop, g_origs_c, g_dirs_c = coarse_vjp(
-            (d_rgb_c, jnp.zeros_like(weights)))
         t_start, t_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
@@ -513,8 +542,6 @@ def train_step_fused(
             k1, n_rays, cfg.samples_per_ray_radiance,
             cfg.near, cfg.far, strategy, offset,
         )
-
-    import os
 
     mlp_cfg = _model_def(cfg.radiance).cfg
     rgb_fine, grads_rad, d_origs, d_dirs = flagship_train_grads(
@@ -554,26 +581,59 @@ def train_step_fused(
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
 
+def _flagship_mlp(model) -> Optional[nerf_mlp.NerfMLPConfig]:
+    """The NerfMLPConfig when `model` matches the mega-kernel's supported
+    architecture (Barf encoders w/ identity, 2 segments, delayed direction,
+    immediate density), else None."""
+    from nerf_experiments_tpu.encodings.fourier import Barf
+
+    m = model if isinstance(model, nerf_mlp.NerfMLPConfig) else None
+    if m is None:
+        return None
+    pe, de = m.position_encoder, m.direction_encoder
+    ok = (
+        isinstance(pe, Barf) and isinstance(de, Barf)
+        and pe.include_identity and de.include_identity
+        and m.n_segments == 2 and m.delayed_direction
+        and not m.delayed_density and pe.scale == de.scale
+        and m.n_hidden >= 1
+    )
+    return m if ok else None
+
+
+def _fusable_coarse_cfg(cfg: BarfConfig) -> Optional[nerf_mlp.NerfMLPConfig]:
+    """NerfMLPConfig of the proposal/coarse net when that stage should ALSO
+    run through the mega-kernel (with loss_scale=coarse_loss_weight and the
+    weights output feeding the fine resampler), else None.
+
+    MEASURED (v5e, 8192 rays x (64 coarse + 32 fine), 64-wide proposal net,
+    bf16): the kernel coarse stage is SLOWER than the XLA coarse stage —
+    23.7-24.3 ms/step vs 19.3 (train), 0.94M vs 1.30M rays/s (serving),
+    flat across coarse tiles 16-32 rays. The small net wastes MXU lanes
+    (64 < the 128-lane tile) and the kernel's fixed per-tile machinery
+    ((T,S) selector matmuls, dW block RMW across hundreds of grid steps)
+    dominates its tiny GEMMs, while XLA batches the whole 512k-row stage
+    into a few large fused GEMMs. So the kernel coarse stage is OPT-IN
+    (NETPU_FUSED_COARSE=1 — useful if a config's XLA coarse stage hits the
+    libtpu regalloc crash); the XLA coarse stage is the default."""
+    import os
+
+    if not cfg.use_proposal or not os.environ.get("NETPU_FUSED_COARSE"):
+        return None
+    prop = (cfg.radiance if cfg.share_proposal_net or cfg.proposal is None
+            else cfg.proposal)
+    return _flagship_mlp(prop)
+
+
 def can_fuse_train_step(cfg: BarfConfig) -> bool:
     """True when the fused mega-kernel covers this config exactly.
 
     The kernel evaluates the RADIANCE pass (the dominant cost); hierarchical
-    configs are supported too — their coarse/proposal stage runs in XLA
-    (any model def), the PDF-resampled fine pass through the kernel."""
-    from nerf_experiments_tpu.encodings.fourier import Barf
-
-    model = cfg.radiance if isinstance(cfg.radiance, nerf_mlp.NerfMLPConfig) else None
-    if model is None:
-        return False
-    pe, de = model.position_encoder, model.direction_encoder
-    return (
-        isinstance(pe, Barf) and isinstance(de, Barf)
-        and pe.include_identity and de.include_identity
-        and model.n_segments == 2 and model.delayed_direction
-        and not model.delayed_density and pe.scale == de.scale
-        and model.n_hidden >= 1
-        and cfg.integration_strategy == "middle"
-    )
+    configs are supported too — their coarse/proposal stage runs through a
+    second (small) kernel launch when its architecture qualifies
+    (`_fusable_coarse_cfg`), else in XLA."""
+    return (_flagship_mlp(cfg.radiance) is not None
+            and cfg.integration_strategy == "middle")
 
 
 def use_fused_render(cfg: BarfConfig) -> bool:

@@ -301,3 +301,119 @@ def test_forward_fused_dispatch_matches_proposal():
         stratified=False, fused=True)
     np.testing.assert_allclose(coarse_fused, coarse_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(rgb_fused, rgb_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_train_kernel_weights_match_render_weights():
+    """return_weights: the kernel's per-sample compositing weights (output
+    col 9) == render_weights on the XLA path — the contract the fused
+    hierarchical COARSE stage relies on for PDF resampling."""
+    cfg = _cfg()
+    params, origs, dirs, targets, t_start, t_end = _setup(cfg)
+    a_pos, a_dir = jnp.asarray(2.0), jnp.asarray(1.0)
+
+    *_, w = flagship_train_grads(
+        params, cfg, origs, dirs, t_start, t_end, targets, a_pos, a_dir,
+        tile_rays=4, interpret=True, loss_scale=0.1, return_weights=True)
+
+    pw = jnp.full((origs.shape[0], 1), 1e-3)
+    dens, _ = _eval_model(
+        NerfMLPDef(cfg), params, origs, dirs, t_start, t_end, pw,
+        a_pos, a_dir, "middle")
+    w_ref, _, _ = render.render_weights(dens, t_end - t_start)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_train_kernel_loss_scale_scales_grads():
+    """loss_scale multiplies every gradient output linearly (the in-kernel
+    MSE grad carries coarse_loss_weight for fused coarse stages)."""
+    cfg = _cfg()
+    params, origs, dirs, targets, t_start, t_end = _setup(cfg)
+    a = jnp.asarray(2.0)
+    _, g1, go1, gd1 = flagship_train_grads(
+        params, cfg, origs, dirs, t_start, t_end, targets, a, a,
+        tile_rays=4, interpret=True)
+    _, g2, go2, gd2 = flagship_train_grads(
+        params, cfg, origs, dirs, t_start, t_end, targets, a, a,
+        tile_rays=4, interpret=True, loss_scale=0.25)
+    np.testing.assert_allclose(go2, 0.25 * go1, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(gd2, 0.25 * gd1, rtol=1e-5, atol=1e-7)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(l2, 0.25 * l1, rtol=1e-5, atol=1e-7)
+
+
+def test_render_kernel_weights_output():
+    """flagship_render(return_weights=True): cols 5:5+S carry the
+    compositing weights (hierarchical serving resampler input)."""
+    from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+    cfg = _cfg(n_hidden=2)
+    params, origs, dirs, _, t_start, t_end = _setup(cfg, n_rays=8, S=8)
+    a_pos, a_dir = jnp.asarray(2.5), jnp.asarray(1.25)
+    pw = jnp.full((origs.shape[0], 1), 1e-3)
+
+    rgb, opac, depth, w = flagship_render(
+        params, cfg, origs, dirs, t_start, t_end, a_pos, a_dir,
+        tile_rays=4, interpret=True, return_weights=True)
+    rgb0, opac0, depth0 = flagship_render(
+        params, cfg, origs, dirs, t_start, t_end, a_pos, a_dir,
+        tile_rays=4, interpret=True)
+
+    dens, _ = _eval_model(
+        NerfMLPDef(cfg), params, origs, dirs, t_start, t_end, pw,
+        a_pos, a_dir, "middle")
+    w_ref, _, _ = render.render_weights(dens, t_end - t_start)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rgb, rgb0, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(opac, opac0, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(depth, depth0, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_coarse_stage_matches_xla_coarse(monkeypatch):
+    """The fused step with the opt-in KERNEL coarse stage (NETPU_FUSED_COARSE)
+    == the fused step with the default XLA coarse stage — bit-comparable
+    params after one update at test tolerances."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    cfg = barf_sys.BarfConfig(
+        radiance=_cfg(n_hidden=2, hidden_dim=32),
+        proposal=_cfg(n_hidden=1, hidden_dim=16),
+        n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+        samples_per_ray_proposal=4,
+        coarse_loss_weight=0.3,
+        uniform_sampling_strategy="equidistant",
+        uniform_sampling_offset_size=0.0,
+    )
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+    tx = barf_sys.make_optimizer(cfg, state.params)
+    batch, key = _batch(16)
+    a_pos, a_dir, sigma = jnp.asarray(2.0), jnp.asarray(1.0), jnp.asarray(0.0)
+
+    monkeypatch.setenv("NETPU_FUSED_COARSE", "1")
+    assert barf_sys._fusable_coarse_cfg(cfg) is not None
+    s_kern, m_kern = barf_sys.train_step_fused(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma)
+
+    # hierarchical serving with the kernel coarse stage == XLA eval path
+    rgb_ref, coarse_ref = barf_sys.forward(
+        state.params, cfg, None, batch["origs_raw"], batch["dirs_raw"],
+        batch["pixel_width"], a_pos, a_dir, stratified=False)
+    rgb_k, coarse_k = barf_sys.forward(
+        state.params, cfg, None, batch["origs_raw"], batch["dirs_raw"],
+        batch["pixel_width"], a_pos, a_dir, stratified=False, fused=True)
+    np.testing.assert_allclose(rgb_k, rgb_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(coarse_k, coarse_ref, rtol=1e-5, atol=1e-6)
+
+    monkeypatch.delenv("NETPU_FUSED_COARSE")
+    assert barf_sys._fusable_coarse_cfg(cfg) is None
+    s_xla, m_xla = barf_sys.train_step_fused(
+        state, cfg, tx, batch, key, a_pos, a_dir, sigma)
+
+    np.testing.assert_allclose(float(m_kern["loss"]), float(m_xla["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_kern["loss_coarse"]),
+                               float(m_xla["loss_coarse"]), rtol=1e-6)
+    for k_leaf, r_leaf in zip(jax.tree_util.tree_leaves(s_kern.params),
+                              jax.tree_util.tree_leaves(s_xla.params)):
+        np.testing.assert_allclose(k_leaf, r_leaf, rtol=1e-5, atol=1e-7)
