@@ -41,6 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--proposal_hidden_dim", type=int, default=0)
     p.add_argument("--proposal_n_hidden", type=int, default=1)
     p.add_argument("--lr_decay_end_step", type=int, default=200_000)
+    # camera-group optimizer knobs (defaults = the reference's recipe,
+    # `barf/run_barf.py:44-59`). --camera_adam_eps is the recipe that fixed
+    # GARF joint calibration (RESULTS.md): a large eps makes small camera
+    # updates gradient-proportional instead of Adam-sign random steps.
+    p.add_argument("--camera_lr", type=float, default=1e-3)
+    p.add_argument("--camera_lr_stop", type=float, default=1e-5)
+    p.add_argument("--camera_adam_eps", type=float, default=None)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--n_hidden", type=int, default=4)
     p.add_argument("--n_segments", type=int, default=2)
@@ -134,9 +141,10 @@ def build(args) -> common.BarfExperiment:
         uniform_sampling_strategy="equidistant",
         uniform_sampling_offset_size=-1.0,
         optimize_camera=args.optimize_camera,
-        camera_learning_rate_start=1e-3,
-        camera_learning_rate_stop=1e-5,
+        camera_learning_rate_start=args.camera_lr,
+        camera_learning_rate_stop=args.camera_lr_stop,
         camera_learning_rate_decay_end=args.lr_decay_end_step,
+        camera_adam_eps=args.camera_adam_eps,
         max_gaussian_sigma=args.start_blur_sigma,
         gaussian_blur_sigmas=sigmas,
     )
