@@ -125,5 +125,36 @@ PRESETS: Dict[str, ExperimentPreset] = {
             argv=("--image_size", "400", "--batch_size", "1024", "--bf16"),
             description="SIREN NeRF (nerf-siren)",
         ),
+        ExperimentPreset(
+            name="barf_northstar_s32",
+            module="run_barf",
+            argv=(
+                "--image_size", "400", "--batch_size", "8192",
+                "--samples_per_ray", "32", "--samples_per_ray_proposal", "64",
+                "--proposal_hidden_dim", "64", "--proposal_n_hidden", "1",
+                "--fused_kernel", "--bf16",
+            ),
+            description="Quality-validated fast hierarchical config "
+            "(RESULTS.md 'North-star config'): small 64x1 proposal net + "
+            "32-sample radiance through the training mega-kernel — matches "
+            "dense-128 novel-view PSNR at 2.3x the throughput (426k rays/s "
+            "train, 1.3M serving on one v5e)",
+        ),
+        ExperimentPreset(
+            name="barf_lego_400_cam_eps",
+            module="run_barf",
+            argv=(
+                "--image_size", "400", "--batch_size", "1024",
+                "--samples_per_ray", "128", "--max_epochs", "100",
+                "--camera_origin_noise_sigma", "0.15",
+                "--camera_rotation_noise_sigma", "0.15",
+                "--camera_lr", "1e-2", "--camera_lr_stop", "1e-4",
+                "--camera_adam_eps", "1e-2",
+                "--seed", "134534", "--bf16",
+            ),
+            description="Canonical BARF with the measured camera-eps recipe "
+            "(RESULTS.md): eps 1e-2 @ camera LR 1e-2 more than doubles pose "
+            "recovery vs the reference schedule at equal step budget",
+        ),
     ]
 }
