@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from nerf_experiments_tpu.experiments import garf_main
 
 SIZE = 160
-STEPS = int(os.environ.get("PROBE_STEPS", 6000))
+STEPS = int(os.environ.get("PROBE_STEPS", 6000))  # late-anneal variants want 10k+
 SCENE = f"/tmp/netpu_quality_scene_{SIZE}"
 spe = 24 * SIZE * SIZE // 1024
 epochs = STEPS / spe
@@ -41,13 +41,17 @@ RECIPE = [
     # gamma: hold Gaussian through the heavy-blur phase, unlock as the
     # cameras converge (the garf run reaches most of its pose recovery in
     # the first ~40% of steps)
-    "--act_anneal_start_epoch", str(0.15 * epochs),
-    "--act_anneal_end_epoch", str(0.85 * epochs),
+    "--act_anneal_start_epoch",
+    str(float(os.environ.get("ANNEAL_START", 0.15)) * epochs),
+    "--act_anneal_end_epoch",
+    str(float(os.environ.get("ANNEAL_END", 0.85)) * epochs),
 ]
 
+TAG = os.environ.get("PROBE_TAG", "anneal")
+
 CONFIGS = {
-    "gabor_anneal": ["--activation", "gabor"],
-    "sarf_anneal": ["--activation", "sarf"],
+    f"gabor_{TAG}": ["--activation", "gabor"],
+    f"sarf_{TAG}": ["--activation", "sarf"],
 }
 
 for name, extra in CONFIGS.items():

@@ -18,6 +18,15 @@ BATCH = int(os.environ.get("Q_BATCH", 1024))
 FUSED = os.environ.get("Q_FUSED", "0") != "0"
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_barf_joint")
+# camera-eps recipe knobs (RESULTS.md probe: eps 1e-2 @ LR 1e-2 doubles
+# pose recovery vs the reference schedule)
+CAM_LR = os.environ.get("Q_CAM_LR")
+CAM_EPS = os.environ.get("Q_CAM_EPS")
+CAM_ARGS = (
+    (["--camera_lr", CAM_LR, "--camera_lr_stop", str(float(CAM_LR) / 100)]
+     if CAM_LR else [])
+    + (["--camera_adam_eps", CAM_EPS] if CAM_EPS else [])
+)
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
     synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
@@ -25,7 +34,7 @@ if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
 
 from nerf_experiments_tpu.experiments import run_barf  # noqa: E402
 
-state = run_barf.main((["--fused_kernel"] if FUSED else []) + [
+state = run_barf.main((["--fused_kernel"] if FUSED else []) + CAM_ARGS + [
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),
     "--samples_per_ray", "128", "--samples_per_ray_proposal", "64",
