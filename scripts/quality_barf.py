@@ -34,10 +34,12 @@ if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
 
 from nerf_experiments_tpu.experiments import run_barf  # noqa: E402
 
+PROPOSAL = int(os.environ.get("Q_PROPOSAL", 64))  # 0 => dense 128
+
 state = run_barf.main((["--fused_kernel"] if FUSED else []) + CAM_ARGS + [
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),
-    "--samples_per_ray", "128", "--samples_per_ray_proposal", "64",
+    "--samples_per_ray", "128", "--samples_per_ray_proposal", str(PROPOSAL),
     "--camera_origin_noise_sigma", "0.15",
     "--camera_rotation_noise_sigma", "0.15",
     "--lr_decay_end_step", str(STEPS),
@@ -55,7 +57,7 @@ summary = render_views.main([
     "--ckpt_dir", os.path.join(OUT, "ckpt"),
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", "1024", "--samples_per_ray", "128",
-    "--samples_per_ray_proposal", "64",
+    "--samples_per_ray_proposal", str(PROPOSAL),
     "--camera_origin_noise_sigma", "0.15",
     "--camera_rotation_noise_sigma", "0.15",
     "--split", "test", "--out_dir", os.path.join(OUT, "novel_views"),
