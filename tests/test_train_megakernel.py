@@ -369,15 +369,18 @@ def test_render_kernel_weights_output():
     np.testing.assert_allclose(depth, depth0, rtol=1e-6, atol=1e-7)
 
 
-def test_fused_coarse_stage_matches_xla_coarse(monkeypatch):
+@pytest.mark.parametrize("shared", [False, True])
+def test_fused_coarse_stage_matches_xla_coarse(monkeypatch, shared):
     """The fused step with the opt-in KERNEL coarse stage (NETPU_FUSED_COARSE)
     == the fused step with the default XLA coarse stage — bit-comparable
-    params after one update at test tolerances."""
+    params after one update at test tolerances. Covers both the dedicated
+    proposal net and the MipNeRF shared-net arrangement."""
     from nerf_experiments_tpu.systems import barf as barf_sys
 
     cfg = barf_sys.BarfConfig(
         radiance=_cfg(n_hidden=2, hidden_dim=32),
-        proposal=_cfg(n_hidden=1, hidden_dim=16),
+        proposal=None if shared else _cfg(n_hidden=1, hidden_dim=16),
+        share_proposal_net=shared,
         n_training_images=4, near=2.0, far=6.0,
         samples_per_ray_radiance=8,
         samples_per_ray_proposal=4,
