@@ -40,6 +40,16 @@ def parse_args(argv=None):
     # uses a smaller coarse net too) — the north-star throughput config.
     p.add_argument("--proposal_hidden_dim", type=int, default=0)
     p.add_argument("--proposal_n_hidden", type=int, default=1)
+    # occupancy-grid guided sampling (ops/occgrid.py — the nerfacc
+    # OccGridEstimator analog): replaces the proposal-net coarse stage with
+    # a density-grid gather; mutually exclusive with
+    # --samples_per_ray_proposal
+    p.add_argument("--occ_grid_resolution", type=int, default=0,
+                   help="cells per axis; 0 = off")
+    p.add_argument("--occ_grid_coarse", type=int, default=64,
+                   help="coarse grid-lookup bins per ray")
+    p.add_argument("--occ_grid_update_every", type=int, default=16)
+    p.add_argument("--occ_grid_aabb_half", type=float, default=2.0)
     p.add_argument("--lr_decay_end_step", type=int, default=200_000)
     # camera-group optimizer knobs (defaults = the reference's recipe,
     # `barf/run_barf.py:44-59`). --camera_adam_eps is the recipe that fixed
@@ -131,9 +141,21 @@ def build(args) -> common.BarfExperiment:
             compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
         )
 
+    occ = None
+    if args.occ_grid_resolution > 0:
+        from nerf_experiments_tpu.ops import occgrid
+
+        occ = occgrid.OccGridConfig(
+            resolution=args.occ_grid_resolution,
+            aabb_half=args.occ_grid_aabb_half,
+            n_coarse=args.occ_grid_coarse,
+            update_every=args.occ_grid_update_every,
+        )
+
     cfg = barf_sys.BarfConfig(
         radiance=radiance,
         proposal=proposal,
+        occ=occ,
         n_training_images=dm.n_training_images,
         near=2.0, far=8.0,
         samples_per_ray_radiance=args.samples_per_ray,

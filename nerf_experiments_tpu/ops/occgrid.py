@@ -1,0 +1,180 @@
+"""Occupancy-grid guided sampling — the TPU-native analog of nerfacc's
+`OccGridEstimator` (the reference's one native dependency ships two
+estimators; the repo uses `PropNetEstimator` at `barf/model_garf.py:222-233`,
+and this module provides the grid-based sibling as the fast path).
+
+The CUDA original marches each ray through a binary grid with early
+termination — per-ray variable-length work, the exact shape-dynamism TPUs
+cannot express. The TPU-first redesign keeps every shape static and turns
+the grid walk into three dense ops:
+
+  1. K coarse bins per ray (same stratified/equidistant machinery as the
+     proposal path); ONE flattened 1-D gather of the cell density at each
+     bin midpoint (524k scalar bf16 gathers for 8192x64 — the layout the
+     INGP study measured fastest; multi-dim gathers are a libtpu
+     compile pathology, see `ops/hashgrid.py:12-15`);
+  2. per-bin occupancy alpha = 1 - exp(-sigma*dt) (NO transmittance
+     product — occupancy grids cannot see occlusion, and compositing the
+     initial uniform grid would pile every sample at the ray entry);
+  3. inverse-CDF resampling of the S radiance bins from (alpha + floor)
+     via the existing one-hot-matmul `sample_pdf_weighted_intervals`.
+
+Grid maintenance replaces nerfacc's CUDA `update_every_n_steps` kernel: a
+full refresh every `update_every` train steps evaluates the radiance net's
+density head at jittered cell centers (R^3 = 262k rows at R=64 — one
+mega-kernel-sized forward, amortized to ~2% of step time) and folds it in
+with the EMA-max rule `occ <- max(decay * occ, sigma)`. The refresh runs
+INSIDE the jitted train step under `lax.cond`, so non-refresh steps pay
+nothing and checkpoints capture the grid (it lives in `params["occ"]` as a
+frozen, lr-0 parameter group).
+
+Versus the proposal-net coarse stage this removes a small-net forward+VJP
+and the coarse photometric loss per step; the grid gather is ~2.7x cheaper
+than the 64-wide proposal net at the north-star config (measured — see
+RESULTS.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_experiments_tpu.ops import sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class OccGridConfig:
+    """Static configuration (hashable — closed over by jitted steps)."""
+
+    resolution: int = 64          # cells per axis (R^3 total)
+    aabb_half: float = 2.0        # grid covers the cube [-h, h]^3
+    n_coarse: int = 64            # coarse lookup bins per ray
+    update_every: int = 16        # refresh cadence in train steps
+    decay: float = 0.95           # EMA-max decay at each refresh
+    init_sigma: float = 1.0       # initial fill: any constant => uniform PDF
+    pdf_floor: float = 0.01       # exploration floor added to every bin
+    gather_dtype: str = "bfloat16"  # grid gathers run at this dtype
+
+    @property
+    def n_cells(self) -> int:
+        return self.resolution ** 3
+
+
+def init_grid(cfg: OccGridConfig) -> jnp.ndarray:
+    """Flat (R^3,) density grid. A constant fill makes the first sampling
+    pass exactly uniform (every bin's alpha equal), so training before the
+    first refresh matches the non-hierarchical path in distribution."""
+    return jnp.full((cfg.n_cells,), cfg.init_sigma, jnp.float32)
+
+
+def cell_index(cfg: OccGridConfig, pos: jnp.ndarray) -> jnp.ndarray:
+    """Positions (..., 3) -> flat cell indices (...,), clipped to the grid.
+
+    Out-of-aabb points clip to border cells; `pdf_floor` keeps geometry
+    that might live outside the box minimally sampled regardless.
+    """
+    r = cfg.resolution
+    cell = (2.0 * cfg.aabb_half) / r
+    ijk = jnp.floor((pos + cfg.aabb_half) / cell).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, r - 1)
+    return (ijk[..., 0] * r + ijk[..., 1]) * r + ijk[..., 2]
+
+
+def lookup(grid: jnp.ndarray, cfg: OccGridConfig, pos: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell density at positions (..., 3) -> (...,).
+
+    One FLATTENED 1-D gather at `gather_dtype` (bf16 halves the gather's
+    bytes/row; density precision is irrelevant here — it only shapes a PDF).
+    """
+    idx = cell_index(cfg, pos)
+    flat = grid.astype(jnp.dtype(cfg.gather_dtype))
+    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape)
+
+
+def sample_intervals(
+    grid: jnp.ndarray,
+    cfg: OccGridConfig,
+    origs: jnp.ndarray,
+    dirs: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    strategy: str = "equidistant",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grid-guided radiance intervals: (t_start, t_end), each (N, n_samples).
+
+    Stratified when `key` is given (training), deterministic midpoint
+    quantiles otherwise (serving) — mirroring the proposal estimator's
+    contract. No gradients flow (integer cell indices + stop_gradient),
+    matching the stop-gradded fine bins of the proposal path.
+    """
+    origs = jax.lax.stop_gradient(origs)
+    dirs = jax.lax.stop_gradient(dirs)
+    n_rays = origs.shape[0]
+    k_coarse, k_pdf = (
+        jax.random.split(key) if key is not None else (None, None)
+    )
+    coarse_key = k_coarse if strategy == "stratified_uniform" else None
+    tc_start, tc_end = sampling.sample_stratified(
+        coarse_key, n_rays, cfg.n_coarse, near, far,
+        strategy if coarse_key is not None else "equidistant", 0.0,
+    )
+    t_mid = 0.5 * (tc_start + tc_end)
+    pos = origs[:, None, :] + t_mid[..., None] * dirs[:, None, :]
+    sigma = lookup(grid, cfg, pos).astype(jnp.float32)
+    # occupancy alpha per bin — deliberately NOT transmittance-composited
+    # (see module docstring)
+    alpha = 1.0 - jnp.exp(-sigma * (tc_end - tc_start))
+    w = alpha + cfg.pdf_floor
+    t_start, t_end = sampling.sample_pdf_weighted_intervals(
+        tc_start, tc_end, w, n_samples, far, key=k_pdf
+    )
+    # the resampled quantiles are differentiable wrt the grid values — cut
+    # that path so the frozen grid group never sees (zero-lr) gradients and
+    # the backward graph stays small (same contract as the proposal path's
+    # stop-gradded fine bins)
+    return jax.lax.stop_gradient(t_start), jax.lax.stop_gradient(t_end)
+
+
+def update_grid(
+    grid: jnp.ndarray,
+    cfg: OccGridConfig,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+) -> jnp.ndarray:
+    """One refresh: occ <- max(decay * occ, sigma(center + jitter)).
+
+    `density_fn` maps positions (M, 3) -> densities (M,) (the radiance
+    net's density head at the caller's current annealing state). Jittering
+    the query point inside each cell makes repeated refreshes cover the
+    cell volume instead of aliasing on the exact centers.
+    """
+    r = cfg.resolution
+    cell = (2.0 * cfg.aabb_half) / r
+    ax = (jnp.arange(r, dtype=jnp.float32) + 0.5) * cell - cfg.aabb_half
+    centers = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    centers = centers.reshape(-1, 3)
+    jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
+    sigma = density_fn(centers + jitter).reshape(-1).astype(jnp.float32)
+    return jnp.maximum(cfg.decay * grid, sigma)
+
+
+def maybe_update(
+    grid: jnp.ndarray,
+    cfg: OccGridConfig,
+    step: jnp.ndarray,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Refresh every `update_every` steps, identity otherwise (lax.cond —
+    non-refresh steps execute only the predicate)."""
+    do = (step % cfg.update_every) == 0
+    return jax.lax.cond(
+        do,
+        lambda g: update_grid(g, cfg, density_fn, key),
+        lambda g: g,
+        grid,
+    )

@@ -32,7 +32,7 @@ from nerf_experiments_tpu.cameras import calibration, extrinsics
 from nerf_experiments_tpu.data.sampler import blurred_pixel_colors
 from nerf_experiments_tpu.models import nerf_mlp
 from nerf_experiments_tpu.models.common import ParamGroup
-from nerf_experiments_tpu.ops import render, sampling
+from nerf_experiments_tpu.ops import occgrid, render, sampling
 from nerf_experiments_tpu.ops.metrics import psnr
 from nerf_experiments_tpu.training import optim
 
@@ -142,6 +142,10 @@ class BarfConfig:
     samples_per_ray_proposal: int = 0  # 0 => no hierarchical sampling
     proposal: Optional[Any] = None  # None => same architecture as radiance
     share_proposal_net: bool = False  # MipNeRF style (model_mip.py:36)
+    # occupancy-grid guided sampling (ops/occgrid.py — the nerfacc
+    # OccGridEstimator analog): an ALTERNATIVE to the proposal net, mutually
+    # exclusive with samples_per_ray_proposal > 0
+    occ: Optional[occgrid.OccGridConfig] = None
     uniform_sampling_strategy: str = "stratified_uniform"
     uniform_sampling_offset_size: float = 0.0
     integration_strategy: str = "middle"
@@ -171,6 +175,10 @@ class BarfConfig:
         return self.samples_per_ray_proposal > 0
 
     @property
+    def use_occ(self) -> bool:
+        return self.occ is not None
+
+    @property
     def camera_group(self) -> ParamGroup:
         return ParamGroup(
             self.camera_learning_rate_start,
@@ -188,11 +196,15 @@ class TrainState:
 
 
 def init(key: jax.Array, cfg: BarfConfig) -> TrainState:
+    if cfg.use_occ and cfg.use_proposal:
+        raise ValueError("occ grid and proposal net are mutually exclusive")
     k_rad, k_prop = jax.random.split(key)
     params: Dict = {"radiance": _model_def(cfg.radiance).init(k_rad)}
     if cfg.use_proposal and not cfg.share_proposal_net:
         prop = cfg.proposal if cfg.proposal is not None else cfg.radiance
         params["proposal"] = _model_def(prop).init(k_prop)
+    if cfg.use_occ:
+        params["occ"] = occgrid.init_grid(cfg.occ)
     params["camera"] = extrinsics.init(cfg.n_training_images)
     tx = make_optimizer(cfg, params)
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
@@ -212,6 +224,12 @@ def make_groups(cfg: BarfConfig, params: Dict):
         prop = cfg.proposal if cfg.proposal is not None else cfg.radiance
         groups["proposal"] = _model_def(prop).param_group
         labels["proposal"] = optim.constant_labels(params["proposal"], "proposal")
+    if "occ" in params:
+        # the occupancy grid is state, not a learned parameter: frozen
+        # group (lr 0); it is refreshed by `occgrid.maybe_update` inside
+        # the train step and checkpointed with the params for free
+        groups["occ"] = ParamGroup(0.0, 0.0, 0)
+        labels["occ"] = optim.constant_labels(params["occ"], "occ")
     if not cfg.optimize_camera:
         groups["camera"] = ParamGroup(0.0, 0.0, 0)
     return groups, labels
@@ -277,16 +295,27 @@ def forward(
     n_rays = ray_origs.shape[0]
     strategy = cfg.uniform_sampling_strategy if stratified else "equidistant"
     offset = cfg.uniform_sampling_offset_size if stratified else 0.0
-    needs_key = strategy == "stratified_uniform" or offset != 0.0
+    needs_key = (strategy == "stratified_uniform" or offset != 0.0
+                 or (cfg.use_occ and stratified))
     k1 = key if needs_key else None
+
+    def _radiance_intervals():
+        """Fine t bins: occ-grid guided when configured, uniform otherwise."""
+        if cfg.use_occ:
+            return occgrid.sample_intervals(
+                params["occ"], cfg.occ, ray_origs, ray_dirs, cfg.near,
+                cfg.far, cfg.samples_per_ray_radiance,
+                key=k1 if stratified else None, strategy=strategy,
+            )
+        return sampling.sample_stratified(
+            k1, n_rays, cfg.samples_per_ray_radiance, cfg.near, cfg.far,
+            strategy, offset,
+        )
 
     if fused and not cfg.use_proposal:
         from nerf_experiments_tpu.ops.train_megakernel import flagship_render
 
-        t_start, t_end = sampling.sample_stratified(
-            k1, n_rays, cfg.samples_per_ray_radiance, cfg.near, cfg.far,
-            strategy, offset,
-        )
+        t_start, t_end = _radiance_intervals()
         rgb_fine, _, _ = flagship_render(
             params["radiance"], _model_def(cfg.radiance).cfg,
             ray_origs, ray_dirs, t_start, t_end, alpha_pos, alpha_dir,
@@ -354,9 +383,7 @@ def forward(
         tf_start = jax.lax.stop_gradient(tf_start)
         tf_end = jax.lax.stop_gradient(tf_end)
     else:
-        tf_start, tf_end = sampling.sample_stratified(
-            k1, n_rays, cfg.samples_per_ray_radiance, cfg.near, cfg.far, strategy, offset
-        )
+        tf_start, tf_end = _radiance_intervals()
         rgb_coarse = None
 
     dens_f, rgb_f_samples = _eval_model(
@@ -407,6 +434,41 @@ def loss_fn(
     return loss, metrics
 
 
+def _occ_density_fn(cfg: BarfConfig, params_rad, alpha_pos, alpha_dir):
+    """Positions (M, 3) -> densities (M,) through the radiance net's density
+    head at the current annealing state (for `occgrid.update_grid`).
+
+    Direction is zeroed (the density head is direction-free in every
+    supported architecture — `delayed_direction`); IPE-style encoders get a
+    cell-sized dummy frustum.
+    """
+    model_def = _model_def(cfg.radiance)
+    cell = 2.0 * cfg.occ.aabb_half / cfg.occ.resolution
+
+    def fn(pos):
+        zeros = jnp.zeros((pos.shape[0], 1), pos.dtype)
+        density, _ = model_def.apply(
+            params_rad, pos, jnp.zeros_like(pos), zeros,
+            zeros, zeros + cell, alpha_pos, alpha_dir,
+        )
+        return density
+
+    return fn
+
+
+def _maybe_refresh_occ(cfg: BarfConfig, params: Dict, step, key,
+                       alpha_pos, alpha_dir) -> Dict:
+    """Post-update occ-grid refresh (every cfg.occ.update_every steps)."""
+    if not cfg.use_occ:
+        return params
+    grid = occgrid.maybe_update(
+        params["occ"], cfg.occ, step,
+        _occ_density_fn(cfg, params["radiance"], alpha_pos, alpha_dir),
+        jax.random.fold_in(key, 0x0CC),
+    )
+    return dict(params, occ=grid)
+
+
 def train_step(
     state: TrainState,
     cfg: BarfConfig,
@@ -425,6 +487,7 @@ def train_step(
     grads, ok = optim.guard_nonfinite(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
+    params = _maybe_refresh_occ(cfg, params, state.step, key, alpha_pos, alpha_dir)
     metrics = dict(metrics, loss=loss, grads_finite=ok)
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
@@ -466,6 +529,9 @@ def train_step_fused(
     from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
 
     params = state.params
+    # pre-decorrelation key: the occ-grid refresh must use the SAME key on
+    # every shard (replicated grid = replicated params invariant)
+    occ_key = key
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
@@ -480,7 +546,8 @@ def train_step_fused(
     n_rays = origs.shape[0]
     strategy = cfg.uniform_sampling_strategy
     offset = cfg.uniform_sampling_offset_size
-    needs_key = strategy == "stratified_uniform" or offset != 0.0
+    needs_key = (strategy == "stratified_uniform" or offset != 0.0
+                 or cfg.use_occ)
     k1 = key if needs_key else None
 
     import os
@@ -537,6 +604,11 @@ def train_step_fused(
         )
         t_start = jax.lax.stop_gradient(t_start)
         t_end = jax.lax.stop_gradient(t_end)
+    elif cfg.use_occ:
+        t_start, t_end = occgrid.sample_intervals(
+            params["occ"], cfg.occ, origs, dirs, cfg.near, cfg.far,
+            cfg.samples_per_ray_radiance, key=k1, strategy=strategy,
+        )
     else:
         t_start, t_end = sampling.sample_stratified(
             k1, n_rays, cfg.samples_per_ray_radiance,
@@ -559,6 +631,9 @@ def train_step_fused(
     grads = {"radiance": grads_rad, "camera": d_camera}
     if cfg.use_proposal and not shared_prop:
         grads["proposal"] = g_prop
+    if cfg.use_occ:
+        # frozen group; zero leaf keeps the optimizer tree aligned
+        grads["occ"] = jnp.zeros_like(params["occ"])
 
     loss_fine = jnp.mean((rgb_fine - target) ** 2)
     loss = loss_fine
@@ -577,6 +652,8 @@ def train_step_fused(
     grads, ok = optim.guard_nonfinite(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
+    params = _maybe_refresh_occ(cfg, params, state.step, occ_key,
+                                alpha_pos, alpha_dir)
     metrics["grads_finite"] = ok
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
