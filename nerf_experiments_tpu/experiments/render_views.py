@@ -40,6 +40,8 @@ def parse_args(argv=None):
         "--samples_per_ray_proposal", "--hidden_dim", "--n_hidden",
         "--n_segments", "--fourier_levels_pos", "--fourier_levels_dir",
         "--proposal_hidden_dim", "--proposal_n_hidden",
+        "--occ_grid_resolution", "--occ_grid_coarse",
+        "--occ_grid_update_every", "--occ_grid_aabb_half",
     ]
     defaults = run_barf.parse_args([])
     for flag in run_barf_args:
@@ -64,6 +66,10 @@ def main(argv=None):
         "--n_segments", str(args.n_segments),
         "--proposal_hidden_dim", str(args.proposal_hidden_dim),
         "--proposal_n_hidden", str(args.proposal_n_hidden),
+        "--occ_grid_resolution", str(args.occ_grid_resolution),
+        "--occ_grid_coarse", str(args.occ_grid_coarse),
+        "--occ_grid_update_every", str(args.occ_grid_update_every),
+        "--occ_grid_aabb_half", str(args.occ_grid_aabb_half),
         "--checkpoint_every_n_epochs", "0",
         "--seed", str(args.seed), "--out_dir", args.out_dir,
     ] + (["--bf16"] if args.bf16 else []))

@@ -56,6 +56,9 @@ class OccGridConfig:
     init_sigma: float = 1.0       # initial fill: any constant => uniform PDF
     pdf_floor: float = 0.01       # exploration floor added to every bin
     gather_dtype: str = "bfloat16"  # grid gathers run at this dtype
+    update_chunk: int = 2 ** 18   # refresh eval rows per lax.map slice (the
+    #                               libtpu regalloc RET_CHECK fires near ~1M
+    #                               MLP rows in one fused region)
 
     @property
     def n_cells(self) -> int:
@@ -158,7 +161,15 @@ def update_grid(
     centers = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
     centers = centers.reshape(-1, 3)
     jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
-    sigma = density_fn(centers + jitter).reshape(-1).astype(jnp.float32)
+    pts = centers + jitter
+    if cfg.n_cells > cfg.update_chunk:
+        # chunked eval: big grids (128^3 = 2M rows) in one fused region trip
+        # the libtpu regalloc RET_CHECK; lax.map serializes fixed slices
+        assert cfg.n_cells % cfg.update_chunk == 0
+        pts = pts.reshape(-1, cfg.update_chunk, 3)
+        sigma = jax.lax.map(density_fn, pts).reshape(-1).astype(jnp.float32)
+    else:
+        sigma = density_fn(pts).reshape(-1).astype(jnp.float32)
     return jnp.maximum(cfg.decay * grid, sigma)
 
 
