@@ -63,7 +63,7 @@ def _time_steps(step, state, batch, scalars, keys, steps):
 
 
 def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
-               proposal=False):
+               proposal=False, occ=False):
     from nerf_experiments_tpu.systems import barf as barf_sys
     from __graft_entry__ import _example_batch
 
@@ -74,6 +74,13 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
             samples_per_ray_proposal=64,
             proposal=_mlp_cfg(compute_dtype, hidden_dim=64, n_hidden=1),
         )
+    if occ:
+        # occupancy-grid guided sampling (ops/occgrid.py): the coarse stage
+        # is one grid gather instead of a proposal-net forward+VJP
+        from nerf_experiments_tpu.ops import occgrid
+
+        kwargs = dict(occ=occgrid.OccGridConfig(
+            resolution=64, n_coarse=64, update_every=16))
     cfg = barf_sys.BarfConfig(
         radiance=_mlp_cfg(compute_dtype), n_training_images=100,
         near=2.0, far=8.0,
@@ -94,9 +101,10 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
         "step_ms": round(1000 * dt / steps, 3),
         "batch_size": batch_size,
     }
-    if fused and proposal:
+    if fused and (proposal or occ):
         # serving path for the hierarchical config: XLA coarse stage
-        # (64-sample small net) + fused radiance render at the same S
+        # (64-sample small net, or the occ-grid gather) + fused radiance
+        # render at the same S
         rbatch = int(os.environ.get("BENCH_RENDER_BATCH", 8192))
         rb = _example_batch(jax.random.PRNGKey(3), rbatch)
 
@@ -296,6 +304,11 @@ def main():
             ("north_star_S32", lambda: bench_barf(
                 fused_batch, 32, steps, compute_dtype, fused=True,
                 proposal=True)),
+            # occ-grid coarse stage instead of the proposal net (quality
+            # validated in scripts/study_occgrid.py, RESULTS.md)
+            ("north_star_occ_S32", lambda: bench_barf(
+                fused_batch, 32, steps, compute_dtype, fused=True,
+                occ=True)),
             ("garf", lambda: bench_garf(garf_batch, steps, compute_dtype)),
             # the fused GARF step amortizes its fixed estimator overhead over
             # larger batches (validated clean at 4096-8192; the XLA step is
