@@ -21,6 +21,7 @@ from nerf_experiments_tpu.data import synthetic
 SIZE = int(os.environ.get("S_SIZE", 160))
 STEPS = int(os.environ.get("S_STEPS", 6000))
 BATCH = int(os.environ.get("S_BATCH", 8192))
+FUSED = os.environ.get("S_FUSED", "1") != "0"  # 0 = XLA step (CPU smoke)
 SCENE = os.environ.get("S_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
@@ -57,9 +58,9 @@ for name, (s_rad, extra) in CONFIGS.items():
         "--alpha_decay_start_step", str(STEPS // 8),
         "--alpha_decay_end_step", str(STEPS // 2),
         "--checkpoint_every_n_epochs", "50",
-        "--bf16", "--fused_kernel",
+        "--bf16",
         "--out_dir", out,
-    ])
+    ] + (["--fused_kernel"] if FUSED else []))
     rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     train_psnr = [r["psnr"] for r in rows if "psnr" in r][-5:]
     rps = [r["train_rays_per_sec"] for r in rows if "train_rays_per_sec" in r]
