@@ -68,6 +68,7 @@ def parse_args(argv=None):
     p.add_argument("--fourier_levels_dir", type=int, default=4)
     p.add_argument("--checkpoint_every_n_epochs", type=float, default=1.0,
                    help="0 disables checkpointing")
+    p.add_argument("--log_every_n_steps", type=int, default=50)
     p.add_argument("--resume", action="store_true", default=False,
                    help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--alpha_decay_start_step", type=int, default=20_000)
@@ -177,6 +178,7 @@ def build(args) -> common.BarfExperiment:
         batch_size=args.batch_size,
         seed=args.seed,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs or None,
+        log_every_n_steps=args.log_every_n_steps,
     )
     name = (
         f"BARF translation={args.camera_origin_noise_sigma} "

@@ -205,6 +205,10 @@ class Trainer:
                 self._check_postmortem(train_arrays)
                 dt = time.perf_counter() - t_start
                 row["train_rays_per_sec"] = rays_done / max(dt, 1e-9)
+                # wall seconds since fit() start (includes the first-step
+                # compile); lets studies report time-to-quality (the
+                # BASELINE.md north star names time-to-30dB explicitly)
+                row["wall_s"] = round(dt, 3)
                 # rate-limited pose error: at most once per
                 # pose_error_every_n_steps, evaluated on log steps
                 # (`barf/model_garf.py:347-349` logs every 100 train batches)
