@@ -85,6 +85,10 @@ def test_lr_rows_logged(tmp_path):
         expected = 5e-4 * np.exp((np.log(1e-5) - np.log(5e-4)) / 100 * min(s, 100))
         assert r["lr_radiance"] == pytest.approx(expected, rel=1e-5)
     assert lr_rows[-1]["lr_radiance"] < lr_rows[0]["lr_radiance"]
+    # wall_s: monotone wall-clock since fit() start on every train row
+    # (time-to-quality studies integrate over it — study_time_to_30db.py)
+    walls = [r["wall_s"] for r in rows if "train_rays_per_sec" in r]
+    assert walls and all(b >= a for a, b in zip(walls, walls[1:]))
 
 
 def test_postmortem_dump_on_first_nonfinite(tmp_path):
