@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--ckpt_step", type=int, default=None)
+    p.add_argument("--entry", choices=["barf", "mip"], default="barf",
+                   help="which experiment entry built the checkpoint: "
+                        "run_barf-family configs, or run_mip_nerf (IPE cone "
+                        "casting, near/far from its own defaults)")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
     p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
     p.add_argument("--chunk", type=int, default=2048)
@@ -52,8 +56,26 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _build_mip(args):
+    from nerf_experiments_tpu.experiments import run_mip_nerf
+
+    mip_args = run_mip_nerf.parse_args([
+        "--scene_path", args.scene_path, "--image_size", str(args.image_size),
+        "--batch_size", str(args.batch_size),
+        "--samples_per_ray", str(args.samples_per_ray),
+        "--samples_per_ray_proposal", str(args.samples_per_ray_proposal),
+        "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
+        "--n_segments", str(args.n_segments),
+        "--checkpoint_every_n_epochs", "0",
+        "--seed", str(args.seed), "--out_dir", args.out_dir,
+    ] + (["--bf16"] if args.bf16 else []))
+    return run_mip_nerf.build(mip_args)
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.entry == "mip":
+        return _render(args, _build_mip(args))
     # rebuild the experiment config (weights come from the checkpoint)
     barf_args = run_barf.parse_args([
         "--scene_path", args.scene_path, "--image_size", str(args.image_size),
@@ -73,7 +95,10 @@ def main(argv=None):
         "--checkpoint_every_n_epochs", "0",
         "--seed", str(args.seed), "--out_dir", args.out_dir,
     ] + (["--bf16"] if args.bf16 else []))
-    exp = run_barf.build(barf_args)
+    return _render(args, run_barf.build(barf_args))
+
+
+def _render(args, exp):
     mgr = CheckpointManager(args.ckpt_dir)
     state = mgr.restore(exp.state, step=args.ckpt_step)
 
