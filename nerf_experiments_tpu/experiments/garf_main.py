@@ -89,6 +89,17 @@ def parse_args(argv=None):
                         "0 -> 1 between these epochs; 0/0 disables "
                         "(gamma = 1, reference semantics)")
     p.add_argument("--act_anneal_end_epoch", type=float, default=0.0)
+    p.add_argument("--camera_freeze_start_epoch", type=float, default=0.0,
+                   help="hold the camera extrinsics (LR = 0) between these "
+                        "epochs, e.g. across the gamma ramp — the SARF 100k "
+                        "run showed the ramp undoing converged calibration "
+                        "(RESULTS.md); 0/0 disables")
+    p.add_argument("--camera_freeze_end_epoch", type=float, default=0.0)
+    p.add_argument("--camera_freeze_during_anneal", action="store_true",
+                   default=False,
+                   help="shortcut: freeze the cameras over exactly the "
+                        "activation-anneal window")
+    p.add_argument("--log_every_n_steps", type=int, default=50)
     p.add_argument("--fused_kernel", action="store_true", default=False,
                    help="run the radiance half of the step through the GARF "
                         "Pallas mega-kernel (ops/garf_megakernel.py; "
@@ -172,6 +183,12 @@ def build(args):
         camera_adam_eps=args.camera_adam_eps,
         act_anneal_start_step=epochs_to_steps(args.act_anneal_start_epoch),
         act_anneal_end_step=epochs_to_steps(args.act_anneal_end_epoch),
+        camera_freeze_start_step=epochs_to_steps(
+            args.act_anneal_start_epoch if args.camera_freeze_during_anneal
+            else args.camera_freeze_start_epoch),
+        camera_freeze_end_step=epochs_to_steps(
+            args.act_anneal_end_epoch if args.camera_freeze_during_anneal
+            else args.camera_freeze_end_epoch),
     )
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
@@ -222,6 +239,7 @@ def build(args):
         max_epochs=max_epochs, max_steps=args.max_steps,
         batch_size=args.batch_size, seed=args.seed,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
+        log_every_n_steps=args.log_every_n_steps,
     )
     # ray-density profile logger (`garf/ray_logger.py` parity): density along
     # the center ray of a named train image, from both networks

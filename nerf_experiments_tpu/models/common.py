@@ -29,6 +29,14 @@ class ParamGroup:
     # sign-normalized — used for camera extrinsics, where noise-level
     # photometric gradients must not turn into LR-sized random steps.
     adam_eps: float = None
+    # Freeze window: LR forced to 0 for steps in [freeze_start_step,
+    # freeze_end_step). Disabled when end <= start. Used to hold the camera
+    # extrinsics still while the scene net crosses a known-destabilizing
+    # phase (e.g. the gabor/sarf activation-anneal gamma ramp, which injects
+    # photometric gradient noise that pushes converged cameras back out —
+    # RESULTS.md, runs/quality_sarf_joint).
+    freeze_start_step: int = 0
+    freeze_end_step: int = 0
 
 
 def linear_init(key: jax.Array, in_features: int, out_features: int, dtype=jnp.float32):

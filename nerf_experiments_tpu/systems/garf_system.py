@@ -53,6 +53,14 @@ class GarfSystemConfig:
     # perfect init at zero pose noise). A large eps makes small-gradient
     # updates gradient-proportional; None keeps the optimizer default.
     camera_adam_eps: float = None
+    # Hold the cameras still (camera-group LR = 0) for steps in
+    # [camera_freeze_start_step, camera_freeze_end_step). The SARF 100k run
+    # showed the activation-anneal gamma ramp pushing converged cameras
+    # back out (pose -88.7% at ramp start -> -80.9% at cutoff, RESULTS.md);
+    # freezing the extrinsics across the ramp lets the scene net absorb the
+    # new frequencies without undoing the calibration. (0, 0) disables.
+    camera_freeze_start_step: int = 0
+    camera_freeze_end_step: int = 0
 
     # gaborf steps its schedulers only at epoch-fraction milestones
     # (`gaborf/model_gaborf.py:284-303`); 1 = per-step (garf/sarf)
@@ -98,6 +106,8 @@ class GarfSystemConfig:
             self.camera_learning_rate_stop,
             self.camera_learning_rate_decay_end,
             adam_eps=self.camera_adam_eps,
+            freeze_start_step=self.camera_freeze_start_step,
+            freeze_end_step=self.camera_freeze_end_step,
         )
 
 

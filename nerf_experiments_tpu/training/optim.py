@@ -81,12 +81,23 @@ def group_lr_schedules(
         )
     else:
         raise ValueError(f"unknown schedule_kind {schedule_kind!r}")
-    return {
-        label: schedule_fn(
+
+    def build(g: ParamGroup):
+        base = schedule_fn(
             g.learning_rate_start, g.learning_rate_stop, g.learning_rate_decay_end
         )
-        for label, g in groups.items()
-    }
+        if g.freeze_end_step <= g.freeze_start_step:
+            return base
+        lo, hi = g.freeze_start_step, g.freeze_end_step
+
+        def frozen(step, _base=base, _lo=lo, _hi=hi):
+            s = jnp.asarray(step)
+            inside = jnp.logical_and(s >= _lo, s < _hi)
+            return jnp.where(inside, 0.0, _base(step))
+
+        return frozen
+
+    return {label: build(g) for label, g in groups.items()}
 
 
 def lr_row_fn(

@@ -415,3 +415,43 @@ class TestExactResume:
         for a, b in zip(jax.tree_util.tree_leaves(straight.params),
                         jax.tree_util.tree_leaves(resumed.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCameraFreezeWindow:
+    def test_freeze_window_holds_cameras_and_lr_rows(self, scene_dir, tmp_path):
+        """--camera_freeze_during_anneal: the freeze window is copied from
+        the gamma-ramp window and the lr_camera metric rows report 0 inside
+        it (the SARF ramp-destabilization mitigation; the bitwise param
+        hold is unit-tested in test_trainer_monitoring.py)."""
+        from nerf_experiments_tpu.experiments import garf_main
+
+        # scene: 4 views x 24^2 = 2304 rays; batch 128 -> 18 steps/epoch.
+        # anneal window epochs [1.0, 2.5) -> steps [18, 45); run 60 steps.
+        out = str(tmp_path / "freeze")
+        args = garf_main.parse_args([
+            "--activation", "sarf",
+            "--scene_path", scene_dir, "--image_size", "24",
+            "--batch_size", "128", "--max_steps", "60",
+            "--proposal_samples_per_ray", "8", "--radiance_samples_per_ray", "16",
+            "--act_anneal_start_epoch", "1.0", "--act_anneal_end_epoch", "2.5",
+            "--camera_freeze_during_anneal",
+            "--camera_learning_rate_start", "1e-2",
+            "--camera_learning_rate_stop", "1e-3",
+            "--log_every_n_steps", "10",
+            "--out_dir", out,
+        ])
+        cfg, state, trainer = garf_main.build(args)
+        assert cfg.camera_freeze_start_step == 18
+        assert cfg.camera_freeze_end_step == 45
+
+        state = trainer.fit(state)
+        rows = _metrics(out)
+        lr_rows = {r["step"]: r["lr_camera"] for r in rows if "lr_camera" in r}
+        assert lr_rows, "no lr_camera rows logged"
+        # trainer logs lr at the pre-step index (step-1): rows at steps
+        # 20/30/40 sit inside the [18, 45) window, 10/50/60 outside
+        inside = [s for s in lr_rows if 18 < s - 1 < 45 - 1]
+        outside = [s for s in lr_rows if s - 1 < 18 or s - 1 >= 45]
+        assert inside and outside
+        assert all(lr_rows[s] == 0.0 for s in inside), lr_rows
+        assert all(lr_rows[s] > 0.0 for s in outside), lr_rows

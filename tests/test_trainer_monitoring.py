@@ -214,3 +214,53 @@ def test_rollback_disabled(tmp_path):
     assert not [r for r in _rows(tmp_path) if "rollback" in r]
     # without the guard the run marches straight through the cliff
     assert int(final.step) == 60 and float(final.params["w"]) == 60.0
+
+
+def test_freeze_window_zeroes_lr_and_holds_params():
+    """ParamGroup freeze window: LR = 0 inside [start, end), schedule
+    resumes after, and the optimizer moves the frozen group's params only
+    outside the window (the hold-cameras-through-the-gamma-ramp knob)."""
+    groups = {
+        "net": ParamGroup(1e-2, 1e-3, 100),
+        "camera": ParamGroup(1e-2, 1e-3, 100, freeze_start_step=5,
+                             freeze_end_step=10),
+    }
+    scheds = optim.group_lr_schedules(groups, "garf_exponential")
+    assert float(scheds["camera"](4)) > 0
+    assert float(scheds["camera"](5)) == 0.0
+    assert float(scheds["camera"](9)) == 0.0
+    assert float(scheds["camera"](10)) > 0
+    # frozen window does not alter the base schedule outside it
+    assert float(scheds["camera"](12)) == pytest.approx(
+        float(scheds["net"](12)), rel=1e-6)
+
+    params = {"net": jnp.ones(3), "camera": jnp.ones(3)}
+    labels = {"net": "net", "camera": "camera"}
+    tx = optim.multi_group_adam(groups, labels,
+                                schedule_kind="garf_exponential")
+    opt_state = tx.init(params)
+    grads = {"net": jnp.full(3, 0.5), "camera": jnp.full(3, 0.5)}
+
+    def step(params, opt_state):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+        return optax.apply_updates(params, updates), opt_state
+
+    history = []
+    for _ in range(12):
+        params, opt_state = step(params, opt_state)
+        history.append(np.asarray(params["camera"][0]))
+    # steps 0-4 move, 5-9 hold bitwise, 10+ move again
+    assert history[4] != history[3]
+    for s in range(5, 10):
+        assert history[s] == history[4], f"camera moved during freeze at {s}"
+    assert history[10] != history[9]
+
+
+def test_garf_config_freeze_plumbs_to_camera_group():
+    from nerf_experiments_tpu.systems import garf_system
+
+    cfg = garf_system.GarfSystemConfig(
+        camera_freeze_start_step=7, camera_freeze_end_step=11)
+    g = cfg.camera_group
+    assert g.freeze_start_step == 7 and g.freeze_end_step == 11
