@@ -110,6 +110,21 @@ def parse_args(argv=None):
 
 
 def build(args):
+    if args.camera_freeze_during_anneal:
+        if args.camera_freeze_start_epoch or args.camera_freeze_end_epoch:
+            raise SystemExit(
+                "--camera_freeze_during_anneal conflicts with explicit "
+                "--camera_freeze_start_epoch/--camera_freeze_end_epoch: the "
+                "shortcut would silently override them; pass one or the other"
+            )
+        if not (args.act_anneal_end_epoch > args.act_anneal_start_epoch):
+            raise SystemExit(
+                "--camera_freeze_during_anneal is a no-op because the "
+                "activation-anneal window is disabled "
+                f"(act_anneal {args.act_anneal_start_epoch}.."
+                f"{args.act_anneal_end_epoch}); set --act_anneal_start_epoch/"
+                "--act_anneal_end_epoch or use explicit freeze epochs"
+            )
     d = ACTIVATION_DEFAULTS[args.activation]
     act_factor = (d["act_lr_factor"]
                   if args.activation_learning_rate_factor is None

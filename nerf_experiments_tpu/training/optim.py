@@ -53,12 +53,42 @@ def multi_group_adam(
     for label, g in groups.items():
         sched = scheds[label]
         g_eps = eps if g.adam_eps is None else g.adam_eps
-        chain = [optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=g_eps)]
+        chain = []
+        if g.freeze_end_step > g.freeze_start_step:
+            # Gate the grads, not just the LR: otherwise scale_by_adam keeps
+            # accumulating mu/nu from ramp-noise gradients during the freeze
+            # and the first post-unfreeze updates replay an EMA of exactly the
+            # noise the freeze exists to exclude. With zeroed grads the Adam
+            # moments decay toward 0 through the window instead.
+            chain.append(
+                _zero_grads_in_window(g.freeze_start_step, g.freeze_end_step)
+            )
+        chain.append(optax.scale_by_adam(b1=adam_b1, b2=adam_b2, eps=g_eps))
         if g.weight_decay:
             chain.append(optax.add_decayed_weights(g.weight_decay))
         chain.append(optax.scale_by_schedule(lambda s, _f=sched: -_f(s)))
         transforms[label] = optax.chain(*chain)
     return optax.multi_transform(transforms, labels)
+
+
+def _zero_grads_in_window(lo: int, hi: int) -> optax.GradientTransformation:
+    """Zero incoming updates while the internal step count is in [lo, hi)."""
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        inside = jnp.logical_and(state.count >= lo, state.count < hi)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(inside, jnp.zeros_like(u), u), updates
+        )
+        return updates, optax.ScaleByScheduleState(
+            count=optax.safe_int32_increment(state.count)
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def group_lr_schedules(

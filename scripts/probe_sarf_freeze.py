@@ -88,10 +88,12 @@ def tail_mean(xs, n=5):
 
 summary = {
     "steps": STEPS, "freeze_window": [f0, f1],
-    "pose_start": pe[0][1], "pose_pre_ramp": pre[-1] if pre else None,
+    "pose_start": pe[0][1] if pe else None,
+    "pose_pre_ramp": pre[-1] if pre else None,
     "pose_frozen_min": min(inside) if inside else None,
     "pose_frozen_max": max(inside) if inside else None,
-    "pose_end": pe[-1][1], "pose_post_min": min(post) if post else None,
+    "pose_end": pe[-1][1] if pe else None,
+    "pose_post_min": min(post) if post else None,
     "psnr_ramp_start": tail_mean(psnr_at(f0 - 500, f0)),
     "psnr_ramp_end": tail_mean(psnr_at(f1 - 500, f1)),
     "psnr_end": tail_mean([v for _, v in psnr]),

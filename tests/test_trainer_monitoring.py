@@ -257,6 +257,40 @@ def test_freeze_window_zeroes_lr_and_holds_params():
     assert history[10] != history[9]
 
 
+def test_freeze_window_gates_adam_moments():
+    """Grads inside the freeze window must not reach Adam's mu/nu: the first
+    post-unfreeze update is otherwise driven by an EMA of exactly the ramp
+    noise the freeze exists to exclude (ADVICE r2). With gating, moments decay
+    toward zero through the window instead of accumulating."""
+    import optax
+
+    groups = {
+        "camera": ParamGroup(1e-2, 1e-3, 100, freeze_start_step=0,
+                             freeze_end_step=10),
+    }
+    params = {"camera": jnp.ones(3)}
+    labels = {"camera": "camera"}
+    tx = optim.multi_group_adam(groups, labels,
+                                schedule_kind="garf_exponential")
+    opt_state = tx.init(params)
+    grads = {"camera": jnp.full(3, 0.5)}
+    for _ in range(10):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    # after 10 in-window steps of constant grads, the camera Adam first moment
+    # must still be ~0 (ungated it would be ~0.5*(1-0.9^10) ≈ 0.33)
+    mus = [np.abs(np.asarray(leaf)).max()
+           for st in jax.tree_util.tree_leaves(
+               opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+           if isinstance(st, optax.ScaleByAdamState)
+           for leaf in jax.tree_util.tree_leaves(st.mu)]
+    assert mus and max(mus) == 0.0
+    # first post-window step applies a clean update from the fresh gradient
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert float(new_params["camera"][0]) != float(params["camera"][0])
+
+
 def test_garf_config_freeze_plumbs_to_camera_group():
     from nerf_experiments_tpu.systems import garf_system
 
