@@ -30,10 +30,11 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--ckpt_step", type=int, default=None)
-    p.add_argument("--entry", choices=["barf", "mip"], default="barf",
+    p.add_argument("--entry", choices=["barf", "mip", "bip"], default="barf",
                    help="which experiment entry built the checkpoint: "
-                        "run_barf-family configs, or run_mip_nerf (IPE cone "
-                        "casting, near/far from its own defaults)")
+                        "run_barf-family configs, run_mip_nerf (IPE cone "
+                        "casting, near/far from its own defaults), or "
+                        "run_bip_barf (Mip-BARF: IPE + sigma schedule)")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
     p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
     p.add_argument("--chunk", type=int, default=2048)
@@ -72,10 +73,31 @@ def _build_mip(args):
     return run_mip_nerf.build(mip_args)
 
 
+def _build_bip(args):
+    from nerf_experiments_tpu.experiments import run_bip_barf
+
+    bip_args = run_bip_barf.parse_args([
+        "--scene_path", args.scene_path, "--image_size", str(args.image_size),
+        "--batch_size", str(args.batch_size),
+        "--camera_origin_noise_sigma", str(args.camera_origin_noise_sigma),
+        "--camera_rotation_noise_sigma", str(args.camera_rotation_noise_sigma),
+        "--samples_per_ray", str(args.samples_per_ray),
+        "--samples_per_ray_proposal", str(args.samples_per_ray_proposal),
+        "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
+        "--start_blur_sigma", str(args.start_blur_sigma),
+        "--max_blur_sigma", str(args.start_blur_sigma),
+        "--checkpoint_every_n_epochs", "0",
+        "--seed", str(args.seed), "--out_dir", args.out_dir,
+    ] + (["--bf16"] if args.bf16 else []))
+    return run_bip_barf.build(bip_args)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.entry == "mip":
         return _render(args, _build_mip(args))
+    if args.entry == "bip":
+        return _render(args, _build_bip(args))
     # rebuild the experiment config (weights come from the checkpoint)
     barf_args = run_barf.parse_args([
         "--scene_path", args.scene_path, "--image_size", str(args.image_size),

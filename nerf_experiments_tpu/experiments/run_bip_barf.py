@@ -34,6 +34,12 @@ def parse_args(argv=None):
     p.add_argument("--max_blur_sigma", type=float, default=200.0)
     p.add_argument("--n_blur_sigmas", type=int, default=10)
     p.add_argument("--optimize_camera", action=argparse.BooleanOptionalAction, default=True)
+    # camera-eps recipe knobs (same semantics as run_barf: reference defaults
+    # stay the defaults, the improved joint-calibration recipe is opt-in)
+    p.add_argument("--camera_lr", type=float, default=1e-3)
+    p.add_argument("--camera_lr_stop", type=float, default=1e-5)
+    p.add_argument("--camera_adam_eps", type=float, default=None)
+    p.add_argument("--image_log_period_epochs", type=float, default=None)
     p.add_argument("--samples_per_ray", type=int, default=126)
     p.add_argument("--samples_per_ray_proposal", type=int, default=0)
     p.add_argument("--sigma_decay_start_step", type=int, default=2000)
@@ -91,9 +97,10 @@ def build(args) -> common.BarfExperiment:
         uniform_sampling_strategy="equidistant",
         uniform_sampling_offset_size=-1.0,
         optimize_camera=args.optimize_camera,
-        camera_learning_rate_start=1e-3 if args.optimize_camera else 0.0,
-        camera_learning_rate_stop=1e-5 if args.optimize_camera else 0.0,
+        camera_learning_rate_start=args.camera_lr if args.optimize_camera else 0.0,
+        camera_learning_rate_stop=args.camera_lr_stop if args.optimize_camera else 0.0,
         camera_learning_rate_decay_end=args.lr_decay_end_step,
+        camera_adam_eps=args.camera_adam_eps,
         max_gaussian_sigma=args.max_blur_sigma,
         gaussian_blur_sigmas=sigmas,
     )
@@ -123,6 +130,10 @@ def build(args) -> common.BarfExperiment:
         cfg, dm, trainer_cfg, args.out_dir,
         use_wandb=args.wandb, wandb_name=name,
         image_log_names=(["r_1"], ["r_2"]),
+        image_log_taper=(
+            (args.image_log_period_epochs,) * 3 + (1.0,)
+            if args.image_log_period_epochs else None
+        ),
     )
     # override the scalar schedule with the Mip sigma schedule
     exp.trainer.scalar_fn = mip_scalars

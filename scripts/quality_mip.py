@@ -1,0 +1,72 @@
+"""Mip/IPE convergence run (VERDICT r2 item 4): run_bip_barf trained to
+quality on the procedural scene, then held-out novel-view rendering.
+
+The reference's Mip-BARF protocol (`barf/run_bip_barf.py:22-60`,
+`barf/model_mip.py:170-252`) is lego 400^2, blur/pixel-width sigma 200
+decaying exponentially to 0.25 between steps 2k and 100k, LR decay over
+200k. Here the schedule is compressed into the step budget and the start
+sigma scaled with resolution (200 at 400 -> size/2 in general).
+
+Targets (VERDICT): pose recovery through the sigma schedule and >=29 dB
+held-out novel-view PSNR.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerf_experiments_tpu.data import synthetic
+
+SIZE = int(os.environ.get("Q_SIZE", 256))
+STEPS = int(os.environ.get("Q_STEPS", 60000))
+BATCH = int(os.environ.get("Q_BATCH", 4096))
+SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
+OUT = os.environ.get("Q_OUT", "runs/quality_mip")
+# sigma schedule: reference uses 200 px at 400^2; scale with resolution
+SIGMA0 = float(os.environ.get("Q_SIGMA0", SIZE / 2))
+SIGMA_END_FRAC = float(os.environ.get("Q_SIGMA_END_FRAC", 0.6))
+CAM_LR = os.environ.get("Q_CAM_LR")
+CAM_EPS = os.environ.get("Q_CAM_EPS")
+CAM_ARGS = (
+    (["--camera_lr", CAM_LR, "--camera_lr_stop", str(float(CAM_LR) / 100)]
+     if CAM_LR else [])
+    + (["--camera_adam_eps", CAM_EPS] if CAM_EPS else [])
+)
+
+if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
+    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+                               image_size=SIZE, n_samples=128)
+
+from nerf_experiments_tpu.experiments import run_bip_barf  # noqa: E402
+
+state = run_bip_barf.main(CAM_ARGS + [
+    "--scene_path", SCENE, "--image_size", str(SIZE),
+    "--batch_size", str(BATCH), "--max_steps", str(STEPS),
+    "--camera_origin_noise_sigma", "0.15",
+    "--camera_rotation_noise_sigma", "0.15",
+    "--start_blur_sigma", str(SIGMA0),
+    "--start_pixel_width_sigma", str(SIGMA0),
+    "--max_blur_sigma", str(SIGMA0),
+    "--sigma_decay_start_step", str(max(STEPS // 30, 200)),
+    "--sigma_decay_end_step", str(int(STEPS * SIGMA_END_FRAC)),
+    "--lr_decay_end_step", str(STEPS),
+    "--checkpoint_every_n_epochs", "10",
+    "--image_log_period_epochs", "4.0",
+    "--bf16",
+    "--out_dir", OUT,
+])
+
+from nerf_experiments_tpu.experiments import render_views  # noqa: E402
+
+summary = render_views.main([
+    "--entry", "bip",
+    "--ckpt_dir", os.path.join(OUT, "ckpt"),
+    "--scene_path", SCENE, "--image_size", str(SIZE),
+    "--batch_size", "1024", "--samples_per_ray", "126",
+    "--start_blur_sigma", str(SIGMA0),
+    "--camera_origin_noise_sigma", "0.15",
+    "--camera_rotation_noise_sigma", "0.15",
+    "--split", "test", "--out_dir", os.path.join(OUT, "novel_views"),
+])
+print(json.dumps({"novel_view_summary": summary}, default=str))
