@@ -63,7 +63,7 @@ def _time_steps(step, state, batch, scalars, keys, steps):
 
 
 def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
-               proposal=False, occ=False):
+               proposal=False, occ=False, mip=False):
     from nerf_experiments_tpu.systems import barf as barf_sys
     from __graft_entry__ import _example_batch
 
@@ -74,6 +74,23 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
             samples_per_ray_proposal=64,
             proposal=_mlp_cfg(compute_dtype, hidden_dim=64, n_hidden=1),
         )
+    if mip:
+        # Mip-NeRF arrangement (`mip_NeRF/main.py:47-114`): IPE position
+        # encoder (conical-frustum integrated Fourier), shared proposal =
+        # radiance net at 64 coarse samples, coarse loss x0.1 — makes the
+        # IPE encoder's cost visible next to the plain-Fourier configs
+        import dataclasses as _dc
+
+        from nerf_experiments_tpu.encodings.fourier import Fourier, Integrated
+
+        radiance = _dc.replace(
+            _mlp_cfg(compute_dtype),
+            position_encoder=Integrated(levels=10, include_identity=True,
+                                        scale=1.0),
+            direction_encoder=Fourier(levels=4, scale=1.0),
+        )
+        kwargs = dict(samples_per_ray_proposal=64, share_proposal_net=True,
+                      coarse_loss_weight=0.1, radiance=radiance)
     if occ:
         # occupancy-grid guided sampling (ops/occgrid.py): the coarse stage
         # is one grid gather instead of a proposal-net forward+VJP
@@ -81,8 +98,10 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
 
         kwargs = dict(occ=occgrid.OccGridConfig(
             resolution=64, n_coarse=64, update_every=16))
+    if "radiance" not in kwargs:
+        kwargs["radiance"] = _mlp_cfg(compute_dtype)
     cfg = barf_sys.BarfConfig(
-        radiance=_mlp_cfg(compute_dtype), n_training_images=100,
+        n_training_images=100,
         near=2.0, far=8.0,
         samples_per_ray_radiance=samples,
         uniform_sampling_strategy="equidistant",
@@ -309,6 +328,11 @@ def main():
             ("north_star_occ_S32", lambda: bench_barf(
                 fused_batch, 32, steps, compute_dtype, fused=True,
                 occ=True)),
+            # Mip-NeRF: IPE encoder + shared proposal net (64 coarse +
+            # radiance), reference `mip_NeRF/main.py:47-114` geometry —
+            # quality run in RESULTS.md (quality_mip)
+            ("mip", lambda: bench_barf(batch_size, samples, steps,
+                                       compute_dtype, mip=True)),
             ("garf", lambda: bench_garf(garf_batch, steps, compute_dtype)),
             # the fused GARF step amortizes its fixed estimator overhead over
             # larger batches (validated clean at 4096-8192; the XLA step is

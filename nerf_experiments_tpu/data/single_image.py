@@ -7,6 +7,7 @@ pixel coords normalized by width/height to [0,1), seeded pixel shuffle,
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Tuple
 
 import numpy as np
@@ -62,3 +63,34 @@ def procedural_test_image(size: int = 64, seed: int = 0) -> np.ndarray:
     g = np.clip(((x - 0.5) ** 2 + (y - 0.5) ** 2) < 0.1, 0, 1) * 0.8 + 0.1
     b = (np.floor(x * 8) + np.floor(y * 8)) % 2 * 0.7 + 0.15
     return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
+def reconstruct_image(apply_fn, data: SingleImageData, chunk: int = 65536) -> np.ndarray:
+    """Full-image reconstruction: evaluate the fitted field at every pixel
+    coordinate (the reference renders these qualitative images in its wandb
+    logger, `2d-reconstruction/main.py`). apply_fn: (N, 2) -> (N, 3)."""
+    preds = []
+    for i in range(0, data.coords.shape[0], chunk):
+        preds.append(np.asarray(apply_fn(data.coords[i : i + chunk])))
+    pred = np.concatenate(preds, axis=0)
+    img = np.zeros((data.image_height, data.image_width, 3), np.float32)
+    # coords were built x-major (meshgrid indexing="ij"): flat index = x*H + y
+    x = (data.coords[:, 0] * data.image_width).round().astype(np.int64)
+    y = (data.coords[:, 1] * data.image_height).round().astype(np.int64)
+    img[y, x] = pred
+    return np.clip(img, 0.0, 1.0)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def full_image_psnr(recon: np.ndarray, data: SingleImageData) -> float:
+    x = (data.coords[:, 0] * data.image_width).round().astype(np.int64)
+    y = (data.coords[:, 1] * data.image_height).round().astype(np.int64)
+    target = np.zeros_like(recon)
+    target[y, x] = data.colors
+    mse = float(np.mean((recon - target) ** 2))
+    return -10.0 * math.log10(max(mse, 1e-12))

@@ -19,6 +19,7 @@ from nerf_experiments_tpu.data import blender, sampler, synthetic
 from nerf_experiments_tpu.systems import barf as barf_sys
 from nerf_experiments_tpu.training import loggers, schedules
 from nerf_experiments_tpu.training.trainer import Trainer, TrainerConfig
+from nerf_experiments_tpu.utils import regalloc
 
 
 def resolve_scene(scene_path: str, image_size: int) -> str:
@@ -102,6 +103,16 @@ def build_barf_experiment(
     fused: bool = False,  # training mega-kernel step (flagship dense config)
 ) -> BarfExperiment:
     dm.setup("fit")
+    # one chokepoint for the known libtpu regalloc crash modes: cap the batch
+    # (with a warning) instead of letting default flags reach a hard crash
+    samples = cfg.samples_per_ray_radiance + cfg.samples_per_ray_proposal
+    capped, _ = regalloc.safe_batch_size(
+        trainer_cfg.batch_size, samples_per_ray=samples, fused=fused,
+        image_size=max(dm.image_width, dm.image_height),
+        n_images=cfg.n_training_images,
+    )
+    if capped != trainer_cfg.batch_size:
+        trainer_cfg = dataclasses.replace(trainer_cfg, batch_size=capped)
     train_store = sampler.make_ray_store(dm.dataset_train)
     val_store = sampler.make_ray_store(dm.dataset_val) if dm.dataset_val else None
 

@@ -250,9 +250,17 @@ def build(args):
         wandb_kwargs={"project": "nerf-experiments", "name": name},
     )
 
+    from nerf_experiments_tpu.utils import regalloc
+
+    safe_batch, _ = regalloc.safe_batch_size(
+        args.batch_size,
+        samples_per_ray=args.proposal_samples_per_ray + args.radiance_samples_per_ray,
+        fused=args.fused_kernel,
+        image_size=args.image_size, n_images=dm.n_training_images,
+    )
     trainer_cfg = TrainerConfig(
         max_epochs=max_epochs, max_steps=args.max_steps,
-        batch_size=args.batch_size, seed=args.seed,
+        batch_size=safe_batch, seed=args.seed,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
         log_every_n_steps=args.log_every_n_steps,
     )

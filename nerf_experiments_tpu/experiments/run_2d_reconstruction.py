@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="runs/2d")
+    p.add_argument("--save_image", action="store_true", default=False,
+                   help="write recon.png (full-image reconstruction) + "
+                        "full-image PSNR into out_dir")
     return p.parse_args(argv)
 
 
@@ -97,6 +100,13 @@ def train(args):
 
     final = float(val_loss(params))
     result = {"val_loss": final, "val_psnr": float(psnr(jnp.asarray(final)))}
+    if args.save_image:
+        apply_fn = jax.jit(lambda c: nerf2d.apply(params, cfg, c))
+        recon = single_image.reconstruct_image(apply_fn, data)
+        single_image.save_png(os.path.join(args.out_dir, "recon.png"), recon)
+        result["full_image_psnr"] = single_image.full_image_psnr(recon, data)
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(result, f)
     print(json.dumps(result))
     return params, cfg, result
 

@@ -206,3 +206,167 @@ def encode_fused(
     w = jnp.stack(w_all)
     out = _gather_interp(table, idx, w, gather_dtype)      # (L, B, F) fp32
     return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)
+
+
+# ----------------------------------------------------------------- matmul
+# Encode-as-matmul: the gather/scatter-free TPU path. The per-row one-hot
+# over table rows factorizes through idx = hi * n_lo + lo as
+# onehot_T(idx) = onehot_hi(hi) (x) onehot_lo(lo), so both directions of
+# the table access become MXU matmuls:
+#   forward   feats = onehot @ T           -> M1 = A @ T.reshape(n_hi, n_lo*F)
+#                                             feats[i,f] = sum_l B[i,l] M1[i,l,f]
+#   backward  dT = onehot^T @ contrib      -> dT += A^T @ (B (*) contrib)
+# FLOPs are 2*R*T_eff*F per direction per level — T_eff times the
+# information floor of a gather, but they run at MXU pace (~114 TFLOP/s on
+# this chip) instead of the ~3 ns/row transaction pace of XLA's dynamic
+# gather, and the backward replaces XLA's serializing scatter-add entirely
+# (measured the dominant INGP cost: step time tracks level count —
+# RESULTS.md INGP study). Bijective levels use their true (res+1)^d row
+# count, so low-res levels are nearly free.
+def _matmul_factors(t_eff: int) -> Tuple[int, int]:
+    """(n_hi, n_lo) with n_hi * n_lo >= t_eff, MXU-friendly dims."""
+    n_lo = 128 if t_eff <= 16384 else 256
+    n_hi = -(-t_eff // n_lo)
+    n_hi = ((n_hi + 7) // 8) * 8  # sublane-align the hi dimension
+    return n_hi, n_lo
+
+
+def _effective_rows(cfg: HashGridConfig, resolution: int) -> int:
+    return min((resolution + 1) ** cfg.dim, cfg.table_size) \
+        if cfg.bijective(resolution) else cfg.table_size
+
+
+def _level_matmul_fwd(table_l, idx, w, t_eff, chunk, compute_dtype):
+    """table_l (T, F), idx/w (R,) flat rows -> (out_sum (R, F) fp32,
+    feats_c (R, F) compute_dtype saved for dw)."""
+    T, F = table_l.shape
+    n_hi, n_lo = _matmul_factors(t_eff)
+    # only the first t_eff rows are ever indexed at this level (bijective
+    # levels use (res+1)^d rows of the padded stacked table)
+    tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
+        table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
+    R = idx.shape[0]
+    pad = (-R) % chunk
+    idx_p = jnp.pad(idx, (0, pad))
+    hi = (idx_p // n_lo).reshape(-1, chunk)
+    lo = (idx_p % n_lo).reshape(-1, chunk)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo), 1)
+
+    def body(_, hl):
+        h, l = hl
+        A = (h[:, None] == iota_hi).astype(compute_dtype)          # (c, n_hi)
+        M1 = jnp.dot(A, tbl, preferred_element_type=jnp.float32)   # (c, n_lo*F)
+        B = (l[:, None] == iota_lo)                                # (c, n_lo)
+        feats = jnp.sum(
+            jnp.where(B[:, :, None], M1.reshape(chunk, n_lo, F), 0.0), axis=1)
+        return None, feats.astype(compute_dtype)
+
+    _, feats = jax.lax.scan(body, None, (hi, lo))
+    feats = feats.reshape(-1, F)[:R]
+    return feats
+
+
+def _level_matmul_dtable(idx, contrib, t_eff, table_rows, chunk, compute_dtype):
+    """Transpose direction: dT (table_rows, F) fp32 = onehot(idx)^T @ contrib."""
+    F = contrib.shape[-1]
+    n_hi, n_lo = _matmul_factors(t_eff)
+    R = idx.shape[0]
+    pad = (-R) % chunk
+    idx_p = jnp.pad(idx, (0, pad))
+    c_p = jnp.pad(contrib, ((0, pad), (0, 0)))
+    hi = (idx_p // n_lo).reshape(-1, chunk)
+    lo = (idx_p % n_lo).reshape(-1, chunk)
+    cc = c_p.reshape(-1, chunk, F)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo), 1)
+
+    def body(acc, hlc):
+        h, l, c = hlc
+        A = (h[:, None] == iota_hi).astype(compute_dtype)           # (c, n_hi)
+        E = jnp.where((l[:, None] == iota_lo)[:, :, None],
+                      c[:, None, :].astype(jnp.float32), 0.0)       # (c, n_lo, F)
+        acc = acc + jnp.dot(A.T, E.reshape(chunk, n_lo * F).astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((n_hi, n_lo * F), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (hi, lo, cc))
+    dt = acc.reshape(n_hi * n_lo, F)
+    if dt.shape[0] < table_rows:  # bijective level: pad to the stacked table
+        dt = jnp.pad(dt, ((0, table_rows - dt.shape[0]), (0, 0)))
+    return dt[:table_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _matmul_interp(table, idx, w, t_effs, table_rows, chunk=65536,
+                   compute_dtype=jnp.bfloat16):
+    """Same contract as _gather_interp — table (L, T, F), idx/w (L, B, C) ->
+    (L, B, F) fp32 — but both table-access directions are MXU matmuls."""
+    out, _ = _matmul_interp_fwd(table, idx, w, t_effs, table_rows, chunk,
+                                compute_dtype)
+    return out
+
+
+def _matmul_interp_fwd(table, idx, w, t_effs, table_rows, chunk, compute_dtype):
+    L, T, F = table.shape
+    B, C = idx.shape[1], idx.shape[2]
+    outs, feats_all = [], []
+    for l in range(L):
+        feats = _level_matmul_fwd(
+            table[l], idx[l].reshape(-1), w[l].reshape(-1), t_effs[l],
+            chunk, compute_dtype)                                   # (R, F)
+        feats_all.append(feats)
+        fw = feats.astype(jnp.float32).reshape(B, C, F) \
+            * w[l][..., None].astype(jnp.float32)
+        outs.append(jnp.sum(fw, axis=1))
+    return jnp.stack(outs), (jnp.stack(feats_all), idx, w)
+
+
+def _matmul_interp_bwd(t_effs, table_rows, chunk, compute_dtype, res, g):
+    feats_all, idx, w = res
+    L = idx.shape[0]
+    B, C = idx.shape[1], idx.shape[2]
+    F = feats_all.shape[-1]
+    dts, dws = [], []
+    for l in range(L):
+        contrib = (w[l][..., None].astype(jnp.float32)
+                   * g[l][:, None, :].astype(jnp.float32)).reshape(-1, F)
+        dts.append(_level_matmul_dtable(
+            idx[l].reshape(-1), contrib, t_effs[l], table_rows,
+            chunk, compute_dtype))
+        dws.append(jnp.sum(
+            feats_all[l].astype(jnp.float32).reshape(B, C, F)
+            * g[l][:, None, :].astype(jnp.float32), axis=-1))
+    dt = jnp.stack(dts)
+    return dt, None, jnp.stack(dws).astype(w.dtype)
+
+
+_matmul_interp.defvjp(_matmul_interp_fwd, _matmul_interp_bwd)
+
+
+def encode_matmul(
+    params: Dict,
+    cfg: HashGridConfig,
+    x: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    chunk: int = 65536,
+) -> jnp.ndarray:
+    """`encode` semantics with gather-free table access (see _matmul_interp).
+    Reference semantics: `2d-ingp/model.py:13-115`, `3d-ingp/model.py:14-121`."""
+    table = params["table"]
+    L, T, F = table.shape
+    offsets = _corner_offsets(cfg.dim)
+    idx_all, w_all = [], []
+    for l, res in enumerate(cfg.level_resolutions):
+        xs = x * res
+        xf = jnp.floor(xs)
+        corners = xf[:, None, :].astype(jnp.int32) + offsets[None, :, :]
+        idx_all.append(_level_indices(corners, res, cfg))
+        xd = jnp.abs(xs[:, None, :] - corners.astype(x.dtype))
+        w_all.append(jnp.prod(1.0 - xd, axis=-1))
+    idx = jnp.stack(idx_all)
+    w = jnp.stack(w_all)
+    t_effs = tuple(_effective_rows(cfg, r) for r in cfg.level_resolutions)
+    out = _matmul_interp(table, idx, w, t_effs, T, chunk, compute_dtype)
+    return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)

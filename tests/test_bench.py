@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_bench_main_all_configs(capsys, monkeypatch):
     monkeypatch.setenv("BENCH_BATCH", "64")
@@ -23,7 +25,8 @@ def test_bench_main_all_configs(capsys, monkeypatch):
     assert row["metric"] == "barf_train_rays_per_sec_1chip"
     assert row["value"] > 0 and row["unit"] == "rays/s"
     d = row["detail"]
-    for name in ("dense_barf", "fused_step", "proposal_barf", "garf", "ingp"):
+    for name in ("dense_barf", "fused_step", "proposal_barf", "mip", "garf",
+                 "ingp"):
         assert name in d, f"missing config {name}"
         assert "error" not in d[name], f"{name} failed: {d[name]}"
         assert d[name]["rays_per_sec"] > 0

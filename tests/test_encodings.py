@@ -150,3 +150,38 @@ class TestActivations:
         out = A.siren_apply(params, jnp.ones((5, 3)), omega=30.0)
         assert out.shape == (5, 64)
         assert (np.abs(np.asarray(out)) <= 1.0).all()
+
+
+@pytest.mark.slow
+def test_hashgrid_encode_matmul_parity():
+    """encode_matmul (gather-free factorized one-hot MXU path) == encode,
+    forward + table grads + coordinate grads, bijective AND hashed levels."""
+    import numpy as np
+    from nerf_experiments_tpu.ops import hashgrid
+
+    cfg = hashgrid.HashGridConfig(dim=3, n_levels=6, table_size=2048,
+                                  n_features=2, resolution_min=4,
+                                  resolution_max=64)
+    params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3),
+                           minval=0.0, maxval=0.999)
+    ref = hashgrid.encode(params, cfg, x)
+    out = hashgrid.encode_matmul(params, cfg, x, compute_dtype=jnp.float32,
+                                 chunk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+    def loss(fn):
+        return lambda p: jnp.sum(jnp.sin(3 * fn(p, cfg, x)))
+
+    g_ref = jax.grad(loss(hashgrid.encode))(params)["table"]
+    g_mm = jax.grad(loss(lambda p, c, xx: hashgrid.encode_matmul(
+        p, c, xx, jnp.float32, 128)))(params)["table"]
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                               atol=2e-5, rtol=1e-4)
+    gx_ref = jax.grad(lambda xx: jnp.sum(
+        jnp.cos(hashgrid.encode(params, cfg, xx))))(x)
+    gx_mm = jax.grad(lambda xx: jnp.sum(jnp.cos(
+        hashgrid.encode_matmul(params, cfg, xx, jnp.float32, 128))))(x)
+    np.testing.assert_allclose(np.asarray(gx_mm), np.asarray(gx_ref),
+                               atol=2e-4, rtol=1e-3)

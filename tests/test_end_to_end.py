@@ -13,6 +13,8 @@ import pytest
 
 from nerf_experiments_tpu.data import blender, sampler, single_image, synthetic
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):

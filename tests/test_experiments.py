@@ -8,6 +8,8 @@ import pytest
 
 from nerf_experiments_tpu.data import synthetic
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):

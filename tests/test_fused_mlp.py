@@ -7,6 +7,8 @@ import pytest
 from nerf_experiments_tpu.models.common import linear_init
 from nerf_experiments_tpu.ops.fused_mlp import fused_chain
 
+pytestmark = pytest.mark.slow
+
 
 def _ref_chain(x, layers):
     h = x

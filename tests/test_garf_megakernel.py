@@ -38,6 +38,8 @@ def _ref_loss(params, cfg, origs, dirs, t_start, t_end, targets, anneal=1.0):
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("activation,anneal", [
     ("gauss", 1.0), ("gabor", 1.0), ("sarf", 1.0),

@@ -4,6 +4,7 @@ at-fetch-time per-pixel blur (`gaborf/dataset.py:324-440`)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_experiments_tpu.ops.image_blur import (
     ConvBlurTargets,
@@ -95,6 +96,7 @@ def test_sigma_decays_and_targets_update():
     assert d2 < d1
 
 
+@pytest.mark.slow
 def test_garf_cli_conv_blur_trains(tmp_path):
     import json
     import os

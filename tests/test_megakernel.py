@@ -9,6 +9,8 @@ from nerf_experiments_tpu.models import nerf_mlp
 from nerf_experiments_tpu.ops.render_megakernel import flagship_render
 from nerf_experiments_tpu.systems import barf as barf_sys
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(levels_pos=6, levels_dir=3, hidden=32, n_hidden=1):
     return nerf_mlp.NerfMLPConfig(

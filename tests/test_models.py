@@ -89,6 +89,7 @@ class TestGarf:
         assert len(flat_p) == len(flat_l)
         assert set(flat_l) == {"lin", "act"}
 
+    @pytest.mark.slow
     def test_gradients_flow_to_activation_params(self):
         cfg = garf.GarfConfig(init_min=0.5, init_max=2.0)
         rp = garf.radiance_init(jax.random.PRNGKey(0), cfg)
@@ -144,6 +145,7 @@ class TestHashGrid:
         np.testing.assert_allclose(np.asarray(out[0]),
                                    np.asarray(params["table"][0, idx]), atol=1e-6)
 
+    @pytest.mark.slow
     def test_encode_fused_matches_encode(self):
         # encode_fused (one global gather + sorted segment-sum VJP) must be
         # bit-identical to the per-level reference path, fwd and bwd.

@@ -4,7 +4,7 @@ import pytest
 
 from nerf_experiments_tpu.data import native
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not native.available(), reason="no C++ toolchain")]
 
 
 class TestComputeRays:

@@ -11,6 +11,8 @@ from nerf_experiments_tpu.models import nerf_mlp
 from nerf_experiments_tpu.ops import occgrid
 from nerf_experiments_tpu.systems import barf as barf_sys
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(**kw):
     d = dict(resolution=16, aabb_half=2.0, n_coarse=16, update_every=4)

@@ -9,9 +9,9 @@ from nerf_experiments_tpu.parallel import mesh as mesh_lib
 from nerf_experiments_tpu.parallel import shard as shard_lib
 from nerf_experiments_tpu.systems import barf as barf_sys
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+)]
 
 
 def _cfg():

@@ -47,6 +47,8 @@ from nerf_experiments_tpu.models import nerf_mlp
 from nerf_experiments_tpu.ops import hashgrid, kabsch, lie, render
 from nerf_experiments_tpu.training import schedules
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(20260819)
 
 

@@ -9,6 +9,8 @@ import pytest
 
 from nerf_experiments_tpu.ops import render, render_pallas
 
+pytestmark = pytest.mark.slow
+
 
 def _random_inputs(key, n=64, s=32):
     ks = jax.random.split(key, 4)

@@ -222,3 +222,21 @@ class TestLoggers:
         lg.log_points("cams", pts, cols, step=7)
         files = os.listdir(tmp_path / "points")
         assert files and files[0].startswith("cams")
+
+
+def test_reconstruct_image_roundtrip():
+    """reconstruct_image + full_image_psnr: an exact predictor reproduces the
+    image (infinite PSNR clamp) with the x-major coord layout."""
+    import numpy as np
+    from nerf_experiments_tpu.data import single_image
+
+    img = single_image.procedural_test_image(16, 0)
+    data = single_image.load(img, pixel_shuffle_seed=0)
+    lookup = {tuple(c): col for c, col in zip(map(tuple, data.coords), data.colors)}
+
+    def apply_fn(chunk):
+        return np.stack([lookup[tuple(c)] for c in chunk])
+
+    recon = single_image.reconstruct_image(apply_fn, data, chunk=37)
+    np.testing.assert_allclose(recon, img, atol=1e-6)
+    assert single_image.full_image_psnr(recon, data) > 100

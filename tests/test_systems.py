@@ -43,6 +43,7 @@ class TestBarfSystem:
         defaults.update(kw)
         return barf_sys.BarfConfig(**defaults)
 
+    @pytest.mark.slow
     def test_forward_shapes(self):
         cfg = self._cfg()
         state = barf_sys.init(jax.random.PRNGKey(0), cfg)
@@ -54,6 +55,7 @@ class TestBarfSystem:
         )
         assert rgb.shape == (16, 3) and coarse is None
 
+    @pytest.mark.slow
     def test_proposal_path(self):
         cfg = self._cfg(samples_per_ray_proposal=8, samples_per_ray_radiance=16)
         state = barf_sys.init(jax.random.PRNGKey(0), cfg)
@@ -103,6 +105,7 @@ class TestGarfSystem:
                                 learning_rate_decay_end=1000),
         )
 
+    @pytest.mark.slow
     def test_forward_and_train_step(self):
         cfg = self._cfg()
         state = garf_system.init(jax.random.PRNGKey(0), cfg)
@@ -116,6 +119,7 @@ class TestGarfSystem:
             assert np.isfinite(losses[-1])
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_interlevel_camera_detach(self):
         # Detaching the interlevel-loss ray dependence must leave the loss
         # VALUE unchanged while changing only the camera gradient; proposal
@@ -148,6 +152,7 @@ class TestGarfSystem:
                             jax.tree_util.tree_leaves(g_off["camera"])))
         assert diff > 0.0
 
+    @pytest.mark.slow
     def test_camera_adam_eps_group(self):
         # camera_adam_eps must reach the camera group and ONLY the camera
         # group: with a huge eps the camera update shrinks ~proportionally

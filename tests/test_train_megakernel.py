@@ -11,6 +11,8 @@ from nerf_experiments_tpu.ops import render, sampling
 from nerf_experiments_tpu.ops.train_megakernel import flagship_train_grads
 from nerf_experiments_tpu.systems.barf import NerfMLPDef, _eval_model
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(n_hidden=2, hidden_dim=32, lv_pos=4, lv_dir=2):
     return nerf_mlp.NerfMLPConfig(
