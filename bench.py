@@ -246,7 +246,8 @@ def bench_garf(batch_size, steps, compute_dtype, fused=False,
 
 
 def bench_ingp(batch_size, steps, compute_dtype, samples=64,
-               n_levels=16, n_features=2):
+               n_levels=16, n_features=2, table_size=2 ** 16,
+               encoder="fused"):
     from nerf_experiments_tpu.experiments.run_3d_ingp import IngpModelDef
     from nerf_experiments_tpu.models import ingp
     from nerf_experiments_tpu.ops import hashgrid
@@ -254,11 +255,12 @@ def bench_ingp(batch_size, steps, compute_dtype, samples=64,
     from __graft_entry__ import _example_batch
 
     grid = hashgrid.HashGridConfig(
-        dim=3, n_levels=n_levels, n_features=n_features, table_size=2 ** 16,
+        dim=3, n_levels=n_levels, n_features=n_features, table_size=table_size,
         resolution_min=16, resolution_max=512,
     )
     model = IngpModelDef(
-        cfg=ingp.NerfINGPConfig(grid=grid, compute_dtype=compute_dtype))
+        cfg=ingp.NerfINGPConfig(grid=grid, compute_dtype=compute_dtype,
+                                encoder=encoder))
     cfg = barf_sys.BarfConfig(
         radiance=model, n_training_images=100, near=2.0, far=8.0,
         samples_per_ray_radiance=samples,

@@ -32,6 +32,7 @@ def parse_args(argv=None):
     p.add_argument("--n_hidden", type=int, default=2)
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--encoder", choices=("fused", "matmul"), default="fused")
     p.add_argument("--batch_size", type=int, default=8192)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
@@ -57,7 +58,8 @@ def train(args):
         n_features=args.n_features,
         n_levels=args.n_levels,
     )
-    cfg = ingp.GigapixelConfig(grid=grid, n_hidden=args.n_hidden, hidden_dim=args.hidden_dim)
+    cfg = ingp.GigapixelConfig(grid=grid, n_hidden=args.n_hidden,
+                               hidden_dim=args.hidden_dim, encoder=args.encoder)
     params = ingp.gigapixel_init(jax.random.PRNGKey(args.seed), cfg)
     # Instant-NGP-style Adam: betas (0.9, 0.99), eps 1e-15 (`3d-ingp/model.py:503-510`)
     tx = optax.chain(

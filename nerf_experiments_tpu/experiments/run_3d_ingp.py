@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--n_hidden", type=int, default=2)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--encoder", choices=("fused", "matmul"), default="fused",
+                   help="table access: flattened gather (fused) or the "
+                        "gather-free factorized one-hot MXU path (matmul)")
     p.add_argument("--near", type=float, default=2.0)
     p.add_argument("--far", type=float, default=8.0)
     p.add_argument("--checkpoint_every_n_epochs", type=float, default=0.0)
@@ -91,6 +94,7 @@ def build(args) -> common.BarfExperiment:
         direction_encoder=Fourier(levels=4, scale=1.0, space_dimensions=3),
         n_hidden=args.n_hidden, hidden_dim=args.hidden_dim,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        encoder=args.encoder,
     )
     model_def = IngpModelDef(cfg=model_cfg, learning_rate_start=args.learning_rate,
                              learning_rate_stop=args.learning_rate / 10)

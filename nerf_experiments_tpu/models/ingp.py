@@ -19,12 +19,25 @@ from nerf_experiments_tpu.models.common import linear_apply, linear_init, softpl
 from nerf_experiments_tpu.ops import hashgrid
 
 
+def _encode(params, grid_cfg, x, compute_dtype, encoder: str):
+    """Table-access path switch: 'fused' = flattened bf16 gather with
+    sorted-segment-sum backward (hashgrid.encode_fused); 'matmul' = gather-
+    free factorized one-hot MXU path (hashgrid.encode_matmul) — wins when
+    the table is small enough that 2*R*T_eff*F FLOPs beat the per-row
+    transaction pace of XLA's dynamic gather (see RESULTS.md INGP study)."""
+    if encoder == "matmul":
+        return hashgrid.encode_matmul(params, grid_cfg, x,
+                                      compute_dtype or jnp.float32)
+    return hashgrid.encode_fused(params, grid_cfg, x, compute_dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class GigapixelConfig:
     grid: hashgrid.HashGridConfig
     n_hidden: int = 2
     hidden_dim: int = 64
     compute_dtype: Any = None
+    encoder: str = "fused"  # "fused" | "matmul"
 
 
 def gigapixel_init(key: jax.Array, cfg: GigapixelConfig) -> Dict:
@@ -44,7 +57,7 @@ def gigapixel_init(key: jax.Array, cfg: GigapixelConfig) -> Dict:
 
 def gigapixel_apply(params: Dict, cfg: GigapixelConfig, pos: jnp.ndarray) -> jnp.ndarray:
     """pos (B, 2) in [0,1]^2 -> rgb (B, 3)."""
-    h = hashgrid.encode_fused(params["grid"], cfg.grid, pos, cfg.compute_dtype)
+    h = _encode(params["grid"], cfg.grid, pos, cfg.compute_dtype, cfg.encoder)
     for i, layer in enumerate(params["layers"]):
         h = linear_apply(layer, h, cfg.compute_dtype)
         if i < len(params["layers"]) - 1:
@@ -60,6 +73,7 @@ class NerfINGPConfig:
     hidden_dim: int = 64
     pos_normalization_scale: float = 8.0  # x/8 + 0.5 (`3d-ingp/model.py:117`)
     compute_dtype: Any = None
+    encoder: str = "fused"  # "fused" | "matmul"
 
 
 def nerf_ingp_init(key: jax.Array, cfg: NerfINGPConfig) -> Dict:
@@ -86,7 +100,8 @@ def nerf_ingp_apply(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(density, rgb), matching `NerfModelINGP.forward:184-193`."""
     x = pos / cfg.pos_normalization_scale + 0.5
-    h = hashgrid.encode_fused(params["grid"], cfg.grid, jnp.clip(x, 0.0, 1.0 - 1e-6), cfg.compute_dtype)
+    h = _encode(params["grid"], cfg.grid, jnp.clip(x, 0.0, 1.0 - 1e-6),
+                cfg.compute_dtype, cfg.encoder)
     for i, layer in enumerate(params["density"]):
         h = linear_apply(layer, h, cfg.compute_dtype)
         if i < len(params["density"]) - 1:

@@ -227,6 +227,29 @@ class TestIngpModels:
         density, rgb = ingp.nerf_ingp_apply(params, cfg, pos, dir)
         assert density.shape == (16,) and rgb.shape == (16, 3)
 
+    def test_encoder_knob_matmul_matches_fused(self):
+        # the encoder="matmul" config switch must be numerically equivalent
+        # to the gather path at the model level (fp32, fwd + table grads)
+        grid = hashgrid.HashGridConfig(dim=3, resolution_min=4, resolution_max=32,
+                                       table_size=512, n_features=2, n_levels=4)
+        pos = jax.random.normal(jax.random.PRNGKey(1), (33, 3))
+        dir = jax.random.normal(jax.random.PRNGKey(2), (33, 3))
+        cfgs = [ingp.NerfINGPConfig(grid=grid, n_hidden=1, hidden_dim=32,
+                                    encoder=e) for e in ("fused", "matmul")]
+        params = ingp.nerf_ingp_init(jax.random.PRNGKey(0), cfgs[0])
+
+        outs, grads = [], []
+        for cfg in cfgs:
+            def loss(p, cfg=cfg):
+                d, rgb = ingp.nerf_ingp_apply(p, cfg, pos, dir)
+                return jnp.sum(d) + jnp.sum(rgb ** 2)
+            outs.append(ingp.nerf_ingp_apply(params, cfg, pos, dir))
+            grads.append(jax.grad(loss)(params)["grid"]["table"])
+        np.testing.assert_allclose(np.asarray(outs[1][1]), np.asarray(outs[0][1]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(grads[1]), np.asarray(grads[0]),
+                                   atol=1e-4, rtol=1e-4)
+
 
 class TestHashGridNumpyParity:
     def test_hashed_mode_matches_numpy_reference(self):
