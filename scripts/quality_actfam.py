@@ -24,6 +24,10 @@ SIZE = int(os.environ.get("Q_SIZE", 160))
 STEPS = int(os.environ.get("Q_STEPS", 100_000))
 A0 = float(os.environ.get("ANNEAL_START", 0.60))
 A1 = float(os.environ.get("ANNEAL_END", 0.95))
+# SARF fix (VERDICT r3 #5): the gamma ramp destabilizes the calibrated
+# cameras — freeze them across the anneal window so the ramp can only
+# change the radiance field, not push the poses back out
+FREEZE = os.environ.get("FREEZE_DURING_ANNEAL") == "1"
 
 steps_per_epoch = 24 * SIZE * SIZE // 1024
 epochs = STEPS / steps_per_epoch
@@ -50,7 +54,7 @@ env.update({
         # oscillation by A1 (probe winner: 0.60-0.95)
         "--act_anneal_start_epoch", str(A0 * epochs),
         "--act_anneal_end_epoch", str(A1 * epochs),
-    ]),
+    ] + (["--camera_freeze_during_anneal"] if FREEZE else [])),
 })
 
 script = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -53,6 +53,7 @@ class TestNerfMLP:
         assert density.shape == (8,) and rgb.shape == (8, 3)
         assert np.isfinite(np.asarray(density)).all()
 
+    @pytest.mark.slow
     def test_differentiable(self):
         cfg = _mlp_cfg()
         params = nerf_mlp.init(jax.random.PRNGKey(0), cfg)
@@ -68,6 +69,7 @@ class TestNerfMLP:
 
 
 class TestGarf:
+    @pytest.mark.slow
     @pytest.mark.parametrize("activation", ["gauss", "gabor", "sarf"])
     def test_radiance_and_proposal(self, activation):
         cfg = garf.GarfConfig(activation=activation, init_min=0.5, init_max=2.0)
@@ -227,6 +229,7 @@ class TestIngpModels:
         density, rgb = ingp.nerf_ingp_apply(params, cfg, pos, dir)
         assert density.shape == (16,) and rgb.shape == (16, 3)
 
+    @pytest.mark.slow
     def test_encoder_knob_matmul_matches_fused(self):
         # the encoder="matmul" config switch must be numerically equivalent
         # to the gather path at the model level (fp32, fwd + table grads)

@@ -184,6 +184,7 @@ class TestGarfSystem:
         for x, y in zip(rad_a, rad_b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    @pytest.mark.slow
     def test_forward_deterministic_in_eval(self):
         cfg = self._cfg()
         state = garf_system.init(jax.random.PRNGKey(0), cfg)
