@@ -30,11 +30,19 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dir", type=str, required=True)
     p.add_argument("--ckpt_step", type=int, default=None)
-    p.add_argument("--entry", choices=["barf", "mip", "bip"], default="barf",
+    p.add_argument("--entry", choices=["barf", "mip", "bip", "ingp"],
+                   default="barf",
                    help="which experiment entry built the checkpoint: "
                         "run_barf-family configs, run_mip_nerf (IPE cone "
-                        "casting, near/far from its own defaults), or "
-                        "run_bip_barf (Mip-BARF: IPE + sigma schedule)")
+                        "casting, near/far from its own defaults), "
+                        "run_bip_barf (Mip-BARF: IPE + sigma schedule), or "
+                        "run_3d_ingp (hash-grid NeRF)")
+    # run_3d_ingp grid flags (used when --entry ingp rebuilds the model)
+    p.add_argument("--ingp_n_levels", type=int, default=16)
+    p.add_argument("--ingp_n_features", type=int, default=2)
+    p.add_argument("--ingp_table_size", type=int, default=2**16)
+    p.add_argument("--ingp_encoder", choices=("fused", "matmul"),
+                   default="fused")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
     p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
     p.add_argument("--chunk", type=int, default=2048)
@@ -92,12 +100,33 @@ def _build_bip(args):
     return run_bip_barf.build(bip_args)
 
 
+def _build_ingp(args):
+    from nerf_experiments_tpu.experiments import run_3d_ingp
+
+    ingp_args = run_3d_ingp.parse_args([
+        "--scene_path", args.scene_path, "--image_size", str(args.image_size),
+        "--batch_size", str(args.batch_size),
+        "--samples_per_ray_fine", str(args.samples_per_ray),
+        "--samples_per_ray_coarse", str(args.samples_per_ray_proposal),
+        "--n_levels", str(args.ingp_n_levels),
+        "--n_features", str(args.ingp_n_features),
+        "--table_size", str(args.ingp_table_size),
+        "--encoder", args.ingp_encoder,
+        "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
+        "--checkpoint_every_n_epochs", "0",
+        "--seed", str(args.seed), "--out_dir", args.out_dir,
+    ] + (["--bf16"] if args.bf16 else []))
+    return run_3d_ingp.build(ingp_args)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.entry == "mip":
         return _render(args, _build_mip(args))
     if args.entry == "bip":
         return _render(args, _build_bip(args))
+    if args.entry == "ingp":
+        return _render(args, _build_ingp(args))
     # rebuild the experiment config (weights come from the checkpoint)
     barf_args = run_barf.parse_args([
         "--scene_path", args.scene_path, "--image_size", str(args.image_size),

@@ -28,6 +28,10 @@ A1 = float(os.environ.get("ANNEAL_END", 0.95))
 # cameras — freeze them across the anneal window so the ramp can only
 # change the radiance field, not push the poses back out
 FREEZE = os.environ.get("FREEZE_DURING_ANNEAL") == "1"
+# GaborF sharp-end fix (VERDICT r3 #5): 0.9995 reaches a sharp ladder only
+# at ~78% of a 100k run — a faster decay gives the sharp targets more of
+# the schedule (0.999 -> sharp at ~53%)
+BLUR_DECAY = os.environ.get("BLUR_DECAY", "0.9995")
 
 steps_per_epoch = 24 * SIZE * SIZE // 1024
 epochs = STEPS / steps_per_epoch
@@ -48,7 +52,7 @@ env.update({
         # strong conv-blur ladder, sharp by the end of 100k
         "--conv_blur",
         "--blur_relative_sigma_start", "0.08",
-        "--blur_relative_sigma_decay", "0.9995",
+        "--blur_relative_sigma_decay", BLUR_DECAY,
         "--activation_learning_rate_factor", "4",
         # activation coarse-to-fine anneal: Gaussian until A0, full
         # oscillation by A1 (probe winner: 0.60-0.95)
