@@ -713,6 +713,85 @@ def can_fuse_train_step(cfg: BarfConfig) -> bool:
             and cfg.integration_strategy == "middle")
 
 
+def render_block_coarse(
+    params: Dict,
+    cfg: BarfConfig,
+    ray_origs: jnp.ndarray,
+    ray_dirs: jnp.ndarray,
+    alpha_pos: Optional[jnp.ndarray] = None,
+    alpha_dir: Optional[jnp.ndarray] = None,
+    block: int = 4,
+) -> jnp.ndarray:
+    """Serving-only hierarchical render with a SUBSAMPLED coarse stage.
+
+    Rays must arrive in raster (image) order: each group of ``block``
+    consecutive rays shares the fine t-bins resampled from its FIRST ray's
+    coarse PDF. Neighboring pixels traverse nearly the same frustum, and
+    the bins only need to cover the surface — the fine net still evaluates
+    every ray exactly — so the coarse stage (proposal-net forward or
+    occ-grid gather + PDF resample, the 1.94 ms gap between the 1.81M
+    rays/s fine kernel and the 1.27M full hierarchical render) shrinks by
+    ``block``x. block=1 is bitwise the standard deterministic serving path.
+
+    TPU-first reading of nerfacc's serving estimator (the CUDA original
+    amortizes per-ray marching with early termination; static-shape
+    subsampling is the analog that keeps the MXU kernel dense).
+    """
+    n_rays = ray_origs.shape[0]
+    assert n_rays % block == 0, (n_rays, block)
+    rep_origs = ray_origs[::block]
+    rep_dirs = ray_dirs[::block]
+
+    if cfg.use_occ:
+        t_start_r, t_end_r = occgrid.sample_intervals(
+            params["occ"], cfg.occ, rep_origs, rep_dirs, cfg.near, cfg.far,
+            cfg.samples_per_ray_radiance, key=None, strategy="equidistant",
+        )
+    else:
+        assert cfg.use_proposal
+        tc_start, tc_end = sampling.sample_stratified(
+            None, rep_origs.shape[0], cfg.samples_per_ray_proposal,
+            cfg.near, cfg.far, "equidistant", 0.0,
+        )
+        prop_params = params.get("proposal", params["radiance"])
+        prop_model = _model_def(
+            cfg.proposal if cfg.proposal is not None else cfg.radiance)
+        if cfg.share_proposal_net:
+            prop_params, prop_model = params["radiance"], _model_def(cfg.radiance)
+        dens_c, rgb_c = _eval_model(
+            prop_model, prop_params, rep_origs, rep_dirs, tc_start, tc_end,
+            jnp.full((rep_origs.shape[0], 1), 1e-3), alpha_pos, alpha_dir,
+            cfg.integration_strategy,
+        )
+        _, weights = render.render_rays_auto(dens_c, rgb_c, tc_end - tc_start)
+        t_start_r, t_end_r = sampling.sample_pdf_weighted_intervals(
+            tc_start, tc_end, weights, cfg.samples_per_ray_radiance, cfg.far,
+        )
+
+    # broadcast the representative's bins to its block members
+    S = t_start_r.shape[1]
+    t_start = jnp.broadcast_to(t_start_r[:, None, :],
+                               (t_start_r.shape[0], block, S)).reshape(n_rays, S)
+    t_end = jnp.broadcast_to(t_end_r[:, None, :],
+                             (t_end_r.shape[0], block, S)).reshape(n_rays, S)
+
+    if use_fused_render(cfg):
+        from nerf_experiments_tpu.ops.train_megakernel import flagship_render
+
+        rgb, _, _ = flagship_render(
+            params["radiance"], _model_def(cfg.radiance).cfg,
+            ray_origs, ray_dirs, t_start, t_end, alpha_pos, alpha_dir,
+        )
+        return rgb
+    dens_f, rgb_f = _eval_model(
+        _model_def(cfg.radiance), params["radiance"], ray_origs, ray_dirs,
+        t_start, t_end, jnp.full((n_rays, 1), 1e-3), alpha_pos, alpha_dir,
+        cfg.integration_strategy,
+    )
+    rgb, _ = render.render_rays_auto(dens_f, rgb_f, t_end - t_start)
+    return rgb
+
+
 def use_fused_render(cfg: BarfConfig) -> bool:
     """True when eval rendering should route through the forward-only render
     mega-kernel: flagship dense config, on TPU, Pallas not disabled."""

@@ -73,6 +73,26 @@ def time_render(cfg, state, batch_size):
             "ms": round(1000 * dt / STEPS, 3)}
 
 
+def time_render_block(cfg, state, batch_size, block):
+    rb = _example_batch(jax.random.PRNGKey(3), batch_size)
+
+    @jax.jit
+    def render_block(params, origs, dirs):
+        return barf_sys.render_block_coarse(
+            params, cfg, origs, dirs,
+            jnp.asarray(10.0), jnp.asarray(4.0), block=block)
+
+    r = render_block(state.params, rb["origs_raw"], rb["dirs_raw"])
+    float(r[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        r = render_block(state.params, rb["origs_raw"], rb["dirs_raw"])
+    float(r[0, 0])
+    dt = time.perf_counter() - t0
+    return {"rays_per_sec": round(batch_size * STEPS / dt, 1),
+            "ms": round(1000 * dt / STEPS, 3)}
+
+
 def main():
     results = {}
     for occ in (False, True):
@@ -86,6 +106,18 @@ def main():
                     row = {"error": f"{type(e).__name__}: {e}"[:160]}
                 results[name] = row
                 print(json.dumps({name: row}), flush=True)
+        # block-coarse serving (render_block_coarse): coarse stage on one
+        # representative ray per block of raster neighbors
+        cfg, state = build(COARSE[0], occ=occ)
+        for block in (2, 4, 8):
+            b = BATCHES[0]
+            name = f"{'occ' if occ else 'prop'}{COARSE[0]}_S32_b{b}_blk{block}"
+            try:
+                row = time_render_block(cfg, state, b, block)
+            except Exception as e:  # noqa: BLE001
+                row = {"error": f"{type(e).__name__}: {e}"[:160]}
+            results[name] = row
+            print(json.dumps({name: row}), flush=True)
     print(json.dumps({"steps": STEPS, "results": results}))
 
 

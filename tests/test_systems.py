@@ -67,6 +67,41 @@ class TestBarfSystem:
         )
         assert rgb.shape == (16, 3) and coarse.shape == (16, 3)
 
+    def test_block_coarse_serving(self):
+        # block=1 must equal the deterministic serving forward exactly;
+        # block=4 shares coarse bins across blocks of 4 raster-neighbor
+        # rays and must stay close on a smooth field (random-init net)
+        cfg = self._cfg(samples_per_ray_proposal=8, samples_per_ray_radiance=16)
+        state = barf_sys.init(jax.random.PRNGKey(0), cfg)
+        batch = _fake_batch(jax.random.PRNGKey(1))
+        ref, _ = barf_sys.forward(
+            state.params, cfg, None,
+            batch["origs_raw"], batch["dirs_raw"], batch["pixel_width"],
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+            stratified=False,
+        )
+        b1 = barf_sys.render_block_coarse(
+            state.params, cfg, batch["origs_raw"], batch["dirs_raw"],
+            jnp.asarray(4.0), jnp.asarray(2.0), block=1)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        # block=4: perturb dirs slightly within each block so neighbors are
+        # coherent, as raster-order rays are
+        dirs = jnp.repeat(batch["dirs_raw"][::4], 4, axis=0)
+        dirs = dirs + 1e-3 * batch["dirs_raw"]
+        origs = jnp.repeat(batch["origs_raw"][::4], 4, axis=0)
+        ref4, _ = barf_sys.forward(
+            state.params, cfg, None, origs, dirs, batch["pixel_width"],
+            alpha_pos=jnp.asarray(4.0), alpha_dir=jnp.asarray(2.0),
+            stratified=False,
+        )
+        b4 = barf_sys.render_block_coarse(
+            state.params, cfg, origs, dirs,
+            jnp.asarray(4.0), jnp.asarray(2.0), block=4)
+        assert b4.shape == (16, 3)
+        np.testing.assert_allclose(np.asarray(b4), np.asarray(ref4),
+                                   atol=0.05, rtol=0.1)
+
     def test_train_step_reduces_loss_and_moves_camera(self):
         cfg = self._cfg()
         state = barf_sys.init(jax.random.PRNGKey(0), cfg)
