@@ -351,6 +351,14 @@ def main():
             ("ingp_wide", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype, n_levels=4, n_features=8)),
+            # gather-free MXU table access (hashgrid.encode_matmul) at a
+            # table size where its 2*R*T_eff*F FLOPs beat the gather's
+            # per-row transaction pace (scripts/study_ingp_encoder.py)
+            ("ingp_matmul", lambda: bench_ingp(
+                int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                compute_dtype, n_levels=4, n_features=8,
+                table_size=int(os.environ.get("BENCH_INGP_MM_TABLE", 8192)),
+                encoder="matmul")),
         ]:
             try:
                 detail[name] = fn()

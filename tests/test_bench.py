@@ -26,7 +26,7 @@ def test_bench_main_all_configs(capsys, monkeypatch):
     assert row["value"] > 0 and row["unit"] == "rays/s"
     d = row["detail"]
     for name in ("dense_barf", "fused_step", "proposal_barf", "mip", "garf",
-                 "ingp"):
+                 "ingp", "ingp_matmul"):
         assert name in d, f"missing config {name}"
         assert "error" not in d[name], f"{name} failed: {d[name]}"
         assert d[name]["rays_per_sec"] > 0
