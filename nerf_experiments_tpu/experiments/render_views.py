@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--ingp_encoder", choices=("fused", "matmul"),
                    default="fused")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
+    p.add_argument("--serve_block", type=int, default=1,
+                   help="serving-only block-coarse render: each group of N "
+                        "raster-consecutive rays shares its first ray's "
+                        "coarse PDF (systems.barf.render_block_coarse); "
+                        "1 = standard path")
     p.add_argument("--n_images", type=int, default=None, help="limit rendered views")
     p.add_argument("--chunk", type=int, default=2048)
     # run_barf config flags needed to rebuild the same model
@@ -176,10 +181,17 @@ def _render(args, exp):
         o, d = calibration.validation_transform_rays(origs, dirs, gauge)
         enc = exp.cfg.radiance.position_encoder if hasattr(exp.cfg.radiance, "position_encoder") else None
         a_pos = jnp.asarray(float(getattr(enc, "levels", 0)))
-        rgb, _ = barf_sys.forward(
-            params, exp.cfg, None, o, d, pw, a_pos, jnp.asarray(4.0),
-            stratified=False, fused=fused_render,
-        )
+        if args.serve_block > 1:
+            # chunks arrive in raster order, the contract render_block_coarse
+            # needs; pw is implicit (deterministic serving path)
+            rgb = barf_sys.render_block_coarse(
+                params, exp.cfg, o, d, a_pos, jnp.asarray(4.0),
+                block=args.serve_block)
+        else:
+            rgb, _ = barf_sys.forward(
+                params, exp.cfg, None, o, d, pw, a_pos, jnp.asarray(4.0),
+                stratified=False, fused=fused_render,
+            )
         return jnp.clip(rgb, 0.0, 1.0)
 
     h, w = dataset.image_height, dataset.image_width
@@ -193,10 +205,14 @@ def _render(args, exp):
         out = np.empty((hw, 3), np.float32)
         for lo in range(0, hw, args.chunk):
             hi = min(lo + args.chunk, hw)
+            n = hi - lo
+            pad = (-n) % args.serve_block  # block-coarse needs n % block == 0
+            o_c = np.concatenate([origs[lo:hi], origs[hi - pad:hi]]) if pad else origs[lo:hi]
+            d_c = np.concatenate([dirs[lo:hi], dirs[hi - pad:hi]]) if pad else dirs[lo:hi]
             out[lo:hi] = np.asarray(render_chunk(
-                state.params, gauge, jnp.asarray(origs[lo:hi]), jnp.asarray(dirs[lo:hi]),
-                jnp.full((hi - lo, 1), dataset.pixel_width),
-            ))
+                state.params, gauge, jnp.asarray(o_c), jnp.asarray(d_c),
+                jnp.full((n + pad, 1), dataset.pixel_width),
+            ))[:n]
         target = dataset.images[i, :, :, -1, :].reshape(hw, 3)
         m = float(np.mean((out - target) ** 2))
         img_psnr = float(psnr(jnp.asarray(m)))
