@@ -283,6 +283,56 @@ def bench_ingp(batch_size, steps, compute_dtype, samples=64,
     }
 
 
+def bench_serving(steps, compute_dtype):
+    """The quality-preserving fast-serving knobs (RESULTS.md round-3 serving
+    study; quality measured on a trained checkpoint by
+    scripts/study_serving_quality.py): serving-time coarse budget is
+    independent of training, so the hierarchical render approaches the
+    isolated fine-kernel ceiling (~1.81M rays/s at S=32)."""
+    from nerf_experiments_tpu.systems import barf as barf_sys
+    from __graft_entry__ import _example_batch
+
+    def build(coarse):
+        cfg = barf_sys.BarfConfig(
+            radiance=_mlp_cfg(compute_dtype), n_training_images=100,
+            near=2.0, far=8.0, samples_per_ray_radiance=32,
+            uniform_sampling_strategy="equidistant",
+            uniform_sampling_offset_size=-1.0,
+            samples_per_ray_proposal=coarse,
+            proposal=_mlp_cfg(compute_dtype, hidden_dim=64, n_hidden=1))
+        return cfg, barf_sys.init(jax.random.PRNGKey(0), cfg)
+
+    out = {}
+    for name, coarse, batch, block in (
+        ("prop16_S32_b16384", 16, 16384, 1),
+        ("prop64_S32_b8192_blk8", 64, 8192, 8),
+    ):
+        cfg, state = build(coarse)
+        rb = _example_batch(jax.random.PRNGKey(3), batch)
+
+        @jax.jit
+        def render(params, origs, dirs, pw, cfg=cfg, block=block):
+            if block > 1:
+                return barf_sys.render_block_coarse(
+                    params, cfg, origs, dirs, jnp.asarray(10.0),
+                    jnp.asarray(4.0), block=block)
+            rgb, _ = barf_sys.forward(
+                params, cfg, None, origs, dirs, pw, jnp.asarray(10.0),
+                jnp.asarray(4.0), stratified=False, fused=True)
+            return rgb
+
+        r = render(state.params, rb["origs_raw"], rb["dirs_raw"],
+                   rb["pixel_width"])
+        float(r[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = render(state.params, rb["origs_raw"], rb["dirs_raw"],
+                       rb["pixel_width"])
+        float(r[0, 0])
+        out[name] = round(batch * steps / (time.perf_counter() - t0), 1)
+    return out
+
+
 def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     samples = int(os.environ.get("BENCH_SAMPLES", 128))
@@ -354,6 +404,10 @@ def main():
             # gather-free MXU table access (hashgrid.encode_matmul) at a
             # table size where its 2*R*T_eff*F FLOPs beat the gather's
             # per-row transaction pace (scripts/study_ingp_encoder.py)
+            # fast-serving knobs (serving-time coarse budget; RESULTS.md
+            # round-3 serving study, quality validated on a trained
+            # checkpoint by scripts/study_serving_quality.py)
+            ("serving", lambda: bench_serving(steps, compute_dtype)),
             ("ingp_matmul", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype, n_levels=4, n_features=8,
