@@ -320,6 +320,21 @@ class TestResumeAndRender:
             "--out_dir", out,
         ])
         assert summary["mean_psnr"] > 8.0, summary
+        # serving-only block-coarse path (--serve_block): same checkpoint,
+        # coarse PDF shared across raster-neighbor blocks; a chunk that is
+        # NOT a multiple of the block exercises the pad-and-truncate path
+        # (24*24=576 rays per view; chunk 290 -> chunks 290/286)
+        blk = render_views.main(flags + [
+            "--ckpt_dir", os.path.join(out, "ckpt"),
+            "--batch_size", "128",
+            "--split", "test", "--n_images", "1", "--chunk", "290",
+            "--serve_block", "4",
+            "--out_dir", str(tmp_path / "blk"),
+        ])
+        assert blk["mean_psnr"] > 8.0, blk
+        # neighbor-shared coarse bins must stay close to the full render
+        assert abs(blk["mean_psnr"] - summary["mean_psnr"]) < 3.0, (
+            blk["mean_psnr"], summary["mean_psnr"])
 
 
 class TestSamplingAblation:
