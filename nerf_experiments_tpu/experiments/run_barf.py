@@ -77,6 +77,12 @@ def parse_args(argv=None):
                    help="run the step through the Pallas training "
                         "mega-kernel (ops/train_megakernel.py; flagship "
                         "dense config only, gradient-exact)")
+    p.add_argument("--train_coarse_block", type=int, default=1,
+                   help="block-coarse training (fused step only): sample "
+                        "aligned runs of N raster-consecutive rays and "
+                        "share the coarse stage per block "
+                        "(BarfConfig.train_coarse_block + "
+                        "TrainerConfig.batch_block)")
     p.add_argument("--image_log_period_epochs", type=float, default=None,
                    help="fixed image-reconstruction log period in epochs "
                         "(default: the reference's 0.002->1/24 taper)")
@@ -170,7 +176,12 @@ def build(args) -> common.BarfExperiment:
         camera_adam_eps=args.camera_adam_eps,
         max_gaussian_sigma=args.start_blur_sigma,
         gaussian_blur_sigmas=sigmas,
+        train_coarse_block=args.train_coarse_block,
     )
+    if args.train_coarse_block > 1:
+        assert args.fused_kernel, "--train_coarse_block requires --fused_kernel"
+        assert args.samples_per_ray_proposal > 0 or args.occ_grid_resolution > 0, (
+            "--train_coarse_block needs a coarse stage (proposal or occ grid)")
 
     trainer_cfg = TrainerConfig(
         max_epochs=args.max_epochs,
@@ -179,6 +190,7 @@ def build(args) -> common.BarfExperiment:
         seed=args.seed,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs or None,
         log_every_n_steps=args.log_every_n_steps,
+        batch_block=args.train_coarse_block,
     )
     name = (
         f"BARF translation={args.camera_origin_noise_sigma} "

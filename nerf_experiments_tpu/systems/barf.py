@@ -150,6 +150,13 @@ class BarfConfig:
     uniform_sampling_offset_size: float = 0.0
     integration_strategy: str = "middle"
     coarse_loss_weight: float = 1.0  # MipNeRF uses 0.1 (model_mip.py:73)
+    # Block-coarse TRAINING (train_step_fused only): with batches sampled as
+    # aligned runs of N raster-consecutive rays (TrainerConfig.batch_block),
+    # the coarse stage (proposal fwd+VJP or occ gather + PDF resample) runs
+    # on ONE representative ray per block and its fine t-bins are shared by
+    # the block — the training analog of render_block_coarse. The coarse
+    # photometric loss is taken over representatives. 1 = off.
+    train_coarse_block: int = 1
 
     optimize_camera: bool = True
     camera_learning_rate_start: float = 1e-3
@@ -555,17 +562,36 @@ def train_step_fused(
     loss_coarse = None
     g_prop = g_origs_c = g_dirs_c = None
     shared_prop = cfg.use_proposal and "proposal" not in params
+    # block-coarse training (see BarfConfig.train_coarse_block): the coarse
+    # stage runs on every blk-th ray; batches must arrive as aligned
+    # raster-consecutive blocks (TrainerConfig.batch_block)
+    blk = max(1, cfg.train_coarse_block)
+    n_rep = n_rays // blk
+    if blk > 1:
+        assert n_rays % blk == 0, (n_rays, blk)
+
+    def _rep(x):
+        return x[::blk] if blk > 1 else x
+
+    def _bcast_bins(t):
+        if blk == 1:
+            return t
+        s = t.shape[1]
+        return jnp.broadcast_to(t[:, None, :], (n_rep, blk, s)).reshape(
+            n_rays, s)
+
     if cfg.use_proposal:
         prop_model = _model_def(
             cfg.radiance if shared_prop or cfg.proposal is None
             else cfg.proposal)
         prop_params = params["radiance"] if shared_prop else params["proposal"]
         tc_start, tc_end = sampling.sample_stratified(
-            k1, n_rays, cfg.samples_per_ray_proposal, cfg.near, cfg.far,
+            k1, n_rep, cfg.samples_per_ray_proposal, cfg.near, cfg.far,
             strategy, offset,
         )
 
-        coarse_cfg = _fusable_coarse_cfg(cfg)
+        # the kernel coarse stage has no rep-slicing path — XLA coarse only
+        coarse_cfg = _fusable_coarse_cfg(cfg) if blk == 1 else None
         if coarse_cfg is not None:
             # coarse stage through the mega-kernel too: one small launch
             # returns rgb_coarse, proposal grads (in-kernel MSE grad scaled
@@ -581,10 +607,15 @@ def train_step_fused(
                 return_weights=True,
             )
         else:
+            target_c = _rep(target)
+
             def coarse_stage(prop_p, origs_, dirs_):
+                # rep-slicing INSIDE the vjp'd function: its VJP scatters
+                # the rep grads back into full-size zero-padded d_origs/
+                # d_dirs, so the camera chain needs no special casing
                 dens_c, rgb_c_samples = _eval_model(
-                    prop_model, prop_p, origs_, dirs_, tc_start, tc_end,
-                    batch["pixel_width"], alpha_pos, alpha_dir,
+                    prop_model, prop_p, _rep(origs_), _rep(dirs_), tc_start,
+                    tc_end, _rep(batch["pixel_width"]), alpha_pos, alpha_dir,
                     cfg.integration_strategy,
                 )
                 rgb_c, weights = render.render_rays_auto(
@@ -594,21 +625,23 @@ def train_step_fused(
             (rgb_coarse, weights), coarse_vjp = jax.vjp(
                 coarse_stage, prop_params, origs, dirs)
             d_rgb_c = (cfg.coarse_loss_weight * 2.0 / rgb_coarse.size
-                       ) * (rgb_coarse - target)
+                       ) * (rgb_coarse - target_c)
             g_prop, g_origs_c, g_dirs_c = coarse_vjp(
                 (d_rgb_c, jnp.zeros_like(weights)))
-        loss_coarse = jnp.mean((rgb_coarse - target) ** 2)
+        loss_coarse = jnp.mean((rgb_coarse - _rep(target)) ** 2)
         t_start, t_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
         )
-        t_start = jax.lax.stop_gradient(t_start)
-        t_end = jax.lax.stop_gradient(t_end)
+        t_start = _bcast_bins(jax.lax.stop_gradient(t_start))
+        t_end = _bcast_bins(jax.lax.stop_gradient(t_end))
     elif cfg.use_occ:
         t_start, t_end = occgrid.sample_intervals(
-            params["occ"], cfg.occ, origs, dirs, cfg.near, cfg.far,
-            cfg.samples_per_ray_radiance, key=k1, strategy=strategy,
+            params["occ"], cfg.occ, _rep(origs), _rep(dirs), cfg.near,
+            cfg.far, cfg.samples_per_ray_radiance, key=k1, strategy=strategy,
         )
+        t_start = _bcast_bins(t_start)
+        t_end = _bcast_bins(t_end)
     else:
         t_start, t_end = sampling.sample_stratified(
             k1, n_rays, cfg.samples_per_ray_radiance,

@@ -19,6 +19,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nerf_experiments_tpu.data import sampler as sampler_lib
@@ -53,6 +54,11 @@ class TrainerConfig:
     rollback_snapshot_every_n_steps: int = 1000
     rollback_max: int = 8
     rollback_warmup_steps: int = 500  # no trigger before the EMA settles
+    # Block-coarse TRAINING batches: sample aligned runs of `batch_block`
+    # raster-consecutive rays instead of independent rays, so the system's
+    # train step can share its coarse stage across each block (the training
+    # analog of systems.barf.render_block_coarse). 1 = independent rays.
+    batch_block: int = 1
 
 
 class Trainer:
@@ -112,14 +118,29 @@ class Trainer:
         n_rays = train_store.n_rays
         pixel_width = train_store.pixel_width
         batch_size = cfg.batch_size
+        block = max(1, cfg.batch_block)
+        if block > 1:
+            assert batch_size % block == 0, (batch_size, block)
+            assert n_rays % block == 0, (n_rays, block)
+
+        def sample_idx(k_batch):
+            if block == 1:
+                return jax.random.randint(k_batch, (batch_size,), 0, n_rays)
+            # aligned block starts: each block is `block` raster-consecutive
+            # pixels, never crossing an image boundary (n_rays % block == 0
+            # and every image is a contiguous hw-run with hw % block == 0)
+            start = block * jax.random.randint(
+                k_batch, (batch_size // block,), 0, n_rays // block)
+            return (start[:, None]
+                    + jnp.arange(block, dtype=start.dtype)).reshape(-1)
 
         def fused(state, arrays, base_key, step_idx, *scalars):
             # fold_in INSIDE the jit: an eager per-step fold_in would cost a
             # device-tunnel roundtrip every step
             key = jax.random.fold_in(base_key, step_idx)
             k_batch, k_step = jax.random.split(key)
-            idx = jax.random.randint(k_batch, (batch_size,), 0, n_rays)
-            batch = sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+            batch = sampler_lib.gather_batch_arrays(
+                arrays, pixel_width, sample_idx(k_batch))
             return self.step_fn(state, batch, k_step, *scalars)
 
         self._fused_step = jax.jit(fused, donate_argnums=(0,))
@@ -135,8 +156,8 @@ class Trainer:
 
         def regen_batch(arrays, key):
             k_batch, _ = jax.random.split(key)
-            idx = jax.random.randint(k_batch, (batch_size,), 0, n_rays)
-            return sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+            return sampler_lib.gather_batch_arrays(
+                arrays, pixel_width, sample_idx(k_batch))
 
         self._regen_batch = jax.jit(regen_batch)
 

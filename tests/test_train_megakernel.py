@@ -422,3 +422,47 @@ def test_fused_coarse_stage_matches_xla_coarse(monkeypatch, shared):
     for k_leaf, r_leaf in zip(jax.tree_util.tree_leaves(s_kern.params),
                               jax.tree_util.tree_leaves(s_xla.params)):
         np.testing.assert_allclose(k_leaf, r_leaf, rtol=1e-5, atol=1e-7)
+
+
+def test_train_coarse_block_identical_rays_exact_parity():
+    """Block-coarse training (BarfConfig.train_coarse_block): when every ray
+    inside an aligned block IS its representative (repeated rays), sharing
+    the coarse stage per block changes nothing — same coarse bins, same
+    coarse loss (mean over reps == mean over duplicates), and the camera
+    chain accumulates block-many 1/B contributions == one 1/n_rep
+    contribution. So the blocked step must match block=1 EXACTLY (up to fp
+    association) on such a batch; this pins the rep-slice/vjp-scatter and
+    bin-broadcast wiring."""
+    import dataclasses
+
+    from nerf_experiments_tpu.systems import barf as barf_sys
+
+    cfg1 = barf_sys.BarfConfig(
+        radiance=_cfg(n_hidden=2, hidden_dim=32),
+        proposal=_cfg(n_hidden=1, hidden_dim=16),
+        n_training_images=4, near=2.0, far=6.0,
+        samples_per_ray_radiance=8,
+        samples_per_ray_proposal=4,
+        uniform_sampling_strategy="equidistant",
+        uniform_sampling_offset_size=0.0,
+    )
+    cfg4 = dataclasses.replace(cfg1, train_coarse_block=4)
+    state = barf_sys.init(jax.random.PRNGKey(0), cfg1)
+    tx = barf_sys.make_optimizer(cfg1, state.params)
+
+    batch, key = _batch(4)
+    # repeat each ray 4x -> 16 rays in 4 aligned blocks of identical rays
+    batch = {k: jnp.repeat(v, 4, axis=0) for k, v in batch.items()}
+    a_pos, a_dir, sigma = jnp.asarray(2.0), jnp.asarray(1.0), jnp.asarray(0.0)
+
+    s1, m1 = barf_sys.train_step_fused(
+        state, cfg1, tx, batch, key, a_pos, a_dir, sigma)
+    s4, m4 = barf_sys.train_step_fused(
+        state, cfg4, tx, batch, key, a_pos, a_dir, sigma)
+
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m4["loss_coarse"]),
+                               float(m1["loss_coarse"]), rtol=1e-6)
+    for l4, l1 in zip(jax.tree_util.tree_leaves(s4.params),
+                      jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(l4, l1, rtol=1e-5, atol=1e-7)
