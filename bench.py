@@ -63,7 +63,7 @@ def _time_steps(step, state, batch, scalars, keys, steps):
 
 
 def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
-               proposal=False, occ=False, mip=False):
+               proposal=False, occ=False, mip=False, train_block=1):
     from nerf_experiments_tpu.systems import barf as barf_sys
     from __graft_entry__ import _example_batch
 
@@ -106,6 +106,7 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
         samples_per_ray_radiance=samples,
         uniform_sampling_strategy="equidistant",
         uniform_sampling_offset_size=-1.0,
+        train_coarse_block=train_block,
         **kwargs,
     )
     state = barf_sys.init(jax.random.PRNGKey(0), cfg)
@@ -380,6 +381,16 @@ def main():
             ("north_star_occ_S32", lambda: bench_barf(
                 fused_batch, 32, steps, compute_dtype, fused=True,
                 occ=True)),
+            # block-coarse TRAINING (train_coarse_block=4): the coarse
+            # fwd+VJP runs on 1 of every 4 raster-consecutive rays
+            # (quality validated by scripts/study_train_block.py before it
+            # may take the headline)
+            ("north_star_S32_blk4", lambda: bench_barf(
+                fused_batch, 32, steps, compute_dtype, fused=True,
+                proposal=True, train_block=4)),
+            ("north_star_occ_S32_blk4", lambda: bench_barf(
+                fused_batch, 32, steps, compute_dtype, fused=True,
+                occ=True, train_block=4)),
             # Mip-NeRF: IPE encoder + shared proposal net (64 coarse +
             # radiance), reference `mip_NeRF/main.py:47-114` geometry —
             # quality run in RESULTS.md (quality_mip)
