@@ -38,6 +38,7 @@ class RayStore:
     gaussian_blur_sigmas: Tuple[float, ...]
     camera_origins_raw: jnp.ndarray  # (N, 3)
     camera_origins_noisy: jnp.ndarray  # (N, 3)
+    hw: int = 0  # rays per image (H*W); 0 = unknown (hand-built stores)
 
     @property
     def n_rays(self) -> int:
@@ -73,6 +74,7 @@ def make_ray_store(data: ImagePoseData, device=None) -> RayStore:
         gaussian_blur_sigmas=tuple(data.gaussian_blur_sigmas),
         camera_origins_raw=to_dev(data.camera_origins),
         camera_origins_noisy=to_dev(data.camera_origins_noisy),
+        hw=hw,
     )
 
 

@@ -41,6 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--ingp_n_levels", type=int, default=16)
     p.add_argument("--ingp_n_features", type=int, default=2)
     p.add_argument("--ingp_table_size", type=int, default=2**16)
+    p.add_argument("--ingp_resolution_max", type=int, default=512)
     p.add_argument("--ingp_encoder", choices=("fused", "matmul"),
                    default="fused")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
@@ -116,6 +117,7 @@ def _build_ingp(args):
         "--n_levels", str(args.ingp_n_levels),
         "--n_features", str(args.ingp_n_features),
         "--table_size", str(args.ingp_table_size),
+        "--resolution_max", str(args.ingp_resolution_max),
         "--encoder", args.ingp_encoder,
         "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
         "--checkpoint_every_n_epochs", "0",
@@ -183,10 +185,12 @@ def _render(args, exp):
         a_pos = jnp.asarray(float(getattr(enc, "levels", 0)))
         if args.serve_block > 1:
             # chunks arrive in raster order, the contract render_block_coarse
-            # needs; pw is implicit (deterministic serving path)
+            # needs; the dataset's real pixel_width is threaded so mip/IPE
+            # checkpoints keep their cone footprint under block serving
             rgb = barf_sys.render_block_coarse(
                 params, exp.cfg, o, d, a_pos, jnp.asarray(4.0),
-                block=args.serve_block)
+                block=args.serve_block,
+                pixel_width=float(dataset.pixel_width))
         else:
             rgb, _ = barf_sys.forward(
                 params, exp.cfg, None, o, d, pw, a_pos, jnp.asarray(4.0),

@@ -754,6 +754,7 @@ def render_block_coarse(
     alpha_pos: Optional[jnp.ndarray] = None,
     alpha_dir: Optional[jnp.ndarray] = None,
     block: int = 4,
+    pixel_width: float = 1e-3,
 ) -> jnp.ndarray:
     """Serving-only hierarchical render with a SUBSAMPLED coarse stage.
 
@@ -793,8 +794,8 @@ def render_block_coarse(
             prop_params, prop_model = params["radiance"], _model_def(cfg.radiance)
         dens_c, rgb_c = _eval_model(
             prop_model, prop_params, rep_origs, rep_dirs, tc_start, tc_end,
-            jnp.full((rep_origs.shape[0], 1), 1e-3), alpha_pos, alpha_dir,
-            cfg.integration_strategy,
+            jnp.full((rep_origs.shape[0], 1), pixel_width), alpha_pos,
+            alpha_dir, cfg.integration_strategy,
         )
         _, weights = render.render_rays_auto(dens_c, rgb_c, tc_end - tc_start)
         t_start_r, t_end_r = sampling.sample_pdf_weighted_intervals(
@@ -818,8 +819,8 @@ def render_block_coarse(
         return rgb
     dens_f, rgb_f = _eval_model(
         _model_def(cfg.radiance), params["radiance"], ray_origs, ray_dirs,
-        t_start, t_end, jnp.full((n_rays, 1), 1e-3), alpha_pos, alpha_dir,
-        cfg.integration_strategy,
+        t_start, t_end, jnp.full((n_rays, 1), pixel_width), alpha_pos,
+        alpha_dir, cfg.integration_strategy,
     )
     rgb, _ = render.render_rays_auto(dens_f, rgb_f, t_end - t_start)
     return rgb

@@ -122,6 +122,14 @@ class Trainer:
         if block > 1:
             assert batch_size % block == 0, (batch_size, block)
             assert n_rays % block == 0, (n_rays, block)
+            # aligned blocks must never cross an image boundary: each image
+            # is a contiguous hw-run in the flat store, so hw % block == 0
+            # guarantees every block's rays come from one camera (otherwise
+            # rays would silently share another camera's coarse PDF bins)
+            hw = getattr(train_store, "hw", 0)
+            assert hw == 0 or hw % block == 0, (
+                f"batch_block={block} requires rays-per-image (hw={hw}) "
+                f"divisible by the block so blocks stay within one image")
 
         def sample_idx(k_batch):
             if block == 1:

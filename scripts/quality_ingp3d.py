@@ -7,7 +7,10 @@ Target: run_barf quality class (>=29 dB novel view at the 12k horizon
 equivalent — see RESULTS.md time-to-30dB).
 
 Env: Q_SIZE (160), Q_STEPS (12000), Q_BATCH (4096), Q_LEVELS (4),
-Q_FEATURES (8), Q_TABLE (65536), Q_ENCODER (fused), Q_SAMPLES (64).
+Q_FEATURES (8), Q_TABLE (65536), Q_ENCODER (fused), Q_SAMPLES (64),
+Q_VIEWS (24 — the r3 run overfit 24 views to 40 dB train / 15.9 dB val;
+the reference trains on the full 100-image lego split, so the round-4
+diagnosis runs 100 views), Q_RES_MAX (512 — finest hash resolution).
 """
 import json
 import os
@@ -26,11 +29,16 @@ TABLE = int(os.environ.get("Q_TABLE", 65536))
 ENCODER = os.environ.get("Q_ENCODER", "fused")
 SAMPLES = int(os.environ.get("Q_SAMPLES", 64))
 COARSE = int(os.environ.get("Q_COARSE", 32))
-SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
+RES_MAX = int(os.environ.get("Q_RES_MAX", 512))
+SCENE = os.environ.get(
+    "Q_SCENE",
+    f"/tmp/netpu_quality_scene_{SIZE}" if VIEWS == 24
+    else f"/tmp/netpu_quality_scene_{SIZE}_v{VIEWS}")
 OUT = os.environ.get("Q_OUT", "runs/quality_ingp3d")
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
-    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+    synthetic.generate_dataset(SCENE, n_train=VIEWS, n_val=4, n_test=6,
                                image_size=SIZE, n_samples=128)
 
 from nerf_experiments_tpu.experiments import render_views, run_3d_ingp
@@ -42,6 +50,7 @@ common_flags = [
     "--samples_per_ray_coarse", str(COARSE),
     "--n_levels", str(LEVELS), "--n_features", str(FEATURES),
     "--table_size", str(TABLE), "--encoder", ENCODER,
+    "--resolution_max", str(RES_MAX),
     "--bf16", "--out_dir", OUT,
 ]
 args = run_3d_ingp.parse_args(common_flags + [
@@ -63,6 +72,7 @@ summary = render_views.main([
     "--hidden_dim", "64", "--n_hidden", "2",
     "--ingp_n_levels", str(LEVELS), "--ingp_n_features", str(FEATURES),
     "--ingp_table_size", str(TABLE), "--ingp_encoder", ENCODER,
+    "--ingp_resolution_max", str(RES_MAX),
     "--bf16",
     "--split", "test", "--out_dir", os.path.join(OUT, "novel_views"),
 ])

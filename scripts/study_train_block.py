@@ -60,9 +60,11 @@ for blk in BLOCKS:
     wall = time.time() - t0
     rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     walls = [r["wall_s"] for r in rows if "wall_s" in r]
-    # post-compile stepping pace: wall between the first and last log rows
+    # post-compile stepping pace: wall between the first and last log rows;
+    # steps derived from the rows themselves (robust to log cadence)
     post = (walls[-1] - walls[0]) if len(walls) > 1 else None
-    steps_logged = STEPS - 50
+    step_rows = [r["step"] for r in rows if "wall_s" in r]
+    steps_logged = (step_rows[-1] - step_rows[0]) if len(step_rows) > 1 else 0
     s = render_views.main([
         "--ckpt_dir", os.path.join(os.path.abspath(out), "ckpt"),
         "--scene_path", SCENE, "--image_size", str(SIZE),

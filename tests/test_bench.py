@@ -22,7 +22,7 @@ def test_bench_main_all_configs(capsys, monkeypatch):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1, f"bench must print exactly ONE line, got {out}"
     row = json.loads(out[0])
-    assert row["metric"] == "barf_train_rays_per_sec_1chip"
+    assert row["metric"] == "nerf_train_rays_per_sec_1chip"
     assert row["value"] > 0 and row["unit"] == "rays/s"
     d = row["detail"]
     for name in ("dense_barf", "fused_step", "proposal_barf", "mip", "garf",
@@ -31,4 +31,6 @@ def test_bench_main_all_configs(capsys, monkeypatch):
         assert "error" not in d[name], f"{name} failed: {d[name]}"
         assert d[name]["rays_per_sec"] > 0
     assert d["render_rays_per_sec"] > 0
-    assert d["headline_path"] in ("xla", "fused_megakernel")
+    assert d["headline_path"] in (
+        "xla_dense", "fused_step", "north_star_S32", "north_star_occ_S32",
+        "north_star_S32_blk4", "north_star_occ_S32_blk4")
