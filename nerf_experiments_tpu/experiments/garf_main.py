@@ -233,12 +233,18 @@ def build(args):
     )
 
     @jax.jit
-    def val_step(params, batch):
+    def val_step(params, batch, act_anneal=1.0):
         from nerf_experiments_tpu.cameras import calibration
 
+        # evaluate at the LIVE anneal gamma (the trainer threads the
+        # schedule scalars through): during the Gaussian-held phase the
+        # oscillation term is off in training, so val must match — a
+        # gamma=1 eval of gamma=0-trained weights reads ~6 dB flat
+        # (observed on the r3 SARF run) regardless of the actual fit
         gauge = calibration.post_transform_params(params["camera"], raw, noisy)
         _, metrics = garf_system.loss_fn(params, cfg, batch, None, train=False,
-                                         val_gauge=gauge)
+                                         val_gauge=gauge,
+                                         act_anneal=act_anneal)
         return metrics
 
     name = args.name or (

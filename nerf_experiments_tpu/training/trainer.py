@@ -257,7 +257,9 @@ class Trainer:
 
             if self.val_fn is not None and self.val_store is not None and epoch_frac >= next_val:
                 next_val += cfg.val_every_n_epochs
-                self._run_validation(state, step, jax.random.fold_in(val_base_key, step))
+                self._run_validation(
+                    state, step, jax.random.fold_in(val_base_key, step),
+                    scalars)
 
             if epoch_frac >= next_ckpt and self.checkpoint_manager is not None:
                 next_ckpt += cfg.checkpoint_every_n_epochs
@@ -363,7 +365,7 @@ class Trainer:
         np.savez(path, **payload)
         self.metric_logger.log({"postmortem_step": float(bad_step)}, bad_step)
 
-    def _run_validation(self, state, step: int, key) -> None:
+    def _run_validation(self, state, step: int, key, scalars=()) -> None:
         if not hasattr(self, "_fused_val"):
             n_rays = self.val_store.n_rays
             pixel_width = self.val_store.pixel_width
@@ -373,19 +375,34 @@ class Trainer:
             # when the train batch is mega-kernel-sized (verify SKILL.md —
             # 4096 with the in-program SVD still crashed)
             batch_size = min(self.cfg.batch_size, 1024)
+            # A val_fn may declare (params, batch, *scalars) to receive the
+            # LIVE schedule scalars — required when the eval must match the
+            # training-time activation/encoding state (e.g. the garf-family
+            # activation anneal: evaluating gamma=1 on gamma=0-trained
+            # weights reads ~6 dB regardless of the fit).
+            import inspect
 
-            def fused_val(params, arrays, k):
+            sig = inspect.signature(self.val_fn)
+            self._val_takes_scalars = (
+                len(sig.parameters) > 2
+                or any(p.kind == inspect.Parameter.VAR_POSITIONAL
+                       for p in sig.parameters.values()))
+
+            def fused_val(params, arrays, k, *sc):
                 idx = jax.random.randint(k, (batch_size,), 0, n_rays)
                 batch = sampler_lib.gather_batch_arrays(arrays, pixel_width, idx)
+                if self._val_takes_scalars:
+                    return self.val_fn(params, batch, *sc)
                 return self.val_fn(params, batch)
 
             self._fused_val = jax.jit(fused_val)
             self._val_arrays = self.val_store.arrays()
 
+        sc = tuple(scalars) if self._val_takes_scalars else ()
         vals: Dict[str, list] = {}
         for i in range(self.cfg.val_batches):
             key, k = jax.random.split(key)
-            metrics = self._fused_val(state.params, self._val_arrays, k)
+            metrics = self._fused_val(state.params, self._val_arrays, k, *sc)
             for name, v in metrics.items():
                 vals.setdefault(f"val_{name}", []).append(float(np.asarray(v)))
         self.metric_logger.log({k: float(np.mean(v)) for k, v in vals.items()}, step)

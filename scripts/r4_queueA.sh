@@ -3,6 +3,11 @@
 # (concurrent TPU clients wedge the tunnel); each job persists evidence
 # immediately so a cutoff loses at most one job.
 #
+# $1 (optional): pid of an in-flight TPU job to wait for before starting
+# (round 4 inherited the r3 queue's SARF freeze-run mid-flight — exactly
+# VERDICT item #5's recipe — so it is allowed to finish first).
+#
+# A0: persist the inherited SARF run's evidence.
 # A1: 3-D INGP at 100 views (VERDICT top item: the r3 24-view run overfit
 #     to 40 dB train / 15.9 dB val; the reference uses the full 100-image
 #     lego train split).
@@ -12,6 +17,16 @@
 # A4: jax.profiler trace (VERDICT #3 — two rounds overdue).
 set -u
 cd /root/repo
+
+if [ "${1:-}" != "" ]; then
+  echo "waiting for inherited TPU job pid $1 to exit..."
+  while kill -0 "$1" 2>/dev/null; do sleep 30; done
+  echo "inherited job done $(date +%H:%M:%S)"
+fi
+
+echo "=== A0: persist inherited SARF evidence $(date +%H:%M:%S) ==="
+python scripts/persist_evidence.py runs/quality_sarf_joint --name quality_sarf_r4 || true
+tail -4 /tmp/q_sarf.log 2>/dev/null
 
 echo "=== probe $(date +%H:%M:%S) ==="
 timeout 600 python -u -c "import jax, jax.numpy as jnp; print('tunnel ok', float(jnp.ones((8,8)).sum()))" 2>&1 | grep -v WARNING

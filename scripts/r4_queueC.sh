@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-4 TPU queue C — runs after r4_queueB.sh exits ($1 = its pid).
+# C1: Mip-BARF at the reference schedule length (VERDICT #6 — 200k steps,
+#     `barf/run_bip_barf.py:22-60`; the 60k r3 run was schedule-limited at
+#     26.0 dB with pose still descending).
+# C2: 400^2 BARF capstone rerun (VERDICT #7 — flagship evidence was lost
+#     with the runs/ reset).
+# C3: mip_NeRF standalone quality run (component #29, partial since r1).
+# C4: bench refresh.
+set -u
+cd /root/repo
+
+if [ "${1:-}" != "" ]; then
+  echo "waiting for queueB pid $1 to exit..."
+  while kill -0 "$1" 2>/dev/null; do sleep 30; done
+fi
+echo "=== queueC start $(date +%H:%M:%S) ==="
+
+echo "=== C1: Mip-BARF 200k (reference schedule length) $(date +%H:%M:%S) ==="
+Q_SIZE=256 Q_STEPS=200000 Q_BATCH=4096 Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 \
+  Q_SIGMA_END_FRAC=0.3 Q_OUT=runs/quality_mip_200k \
+  timeout 10800 python -u scripts/quality_mip.py > /tmp/q_mip200k.log 2>&1
+echo "mip200k exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_mip_200k --name quality_mip_200k || true
+tail -5 /tmp/q_mip200k.log
+
+echo "=== C2: 400^2 BARF capstone rerun $(date +%H:%M:%S) ==="
+Q_SIZE=400 Q_STEPS=60000 Q_BATCH=4096 Q_FUSED=1 Q_PROPOSAL=64 \
+  Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 Q_OUT=runs/quality_barf_400 \
+  timeout 5400 python -u scripts/quality_barf.py > /tmp/q_barf400.log 2>&1
+echo "barf400 exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_barf_400 --name quality_barf_400 || true
+tail -5 /tmp/q_barf400.log
+
+echo "=== C3: mip_NeRF standalone quality run $(date +%H:%M:%S) ==="
+timeout 5400 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone.log 2>&1
+echo "mipstandalone exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_mip_standalone --name quality_mip_standalone || true
+tail -5 /tmp/q_mipstandalone.log
+
+echo "=== C4: bench refresh $(date +%H:%M:%S) ==="
+timeout 3000 python -u bench.py > /tmp/q_bench.log 2>&1
+echo "bench exit=$? $(date +%H:%M:%S)"
+tail -2 /tmp/q_bench.log
+
+echo "=== queueC done $(date +%H:%M:%S) ==="
