@@ -298,3 +298,54 @@ def test_garf_config_freeze_plumbs_to_camera_group():
         camera_freeze_start_step=7, camera_freeze_end_step=11)
     g = cfg.camera_group
     assert g.freeze_start_step == 7 and g.freeze_end_step == 11
+
+
+def test_val_fn_receives_live_schedule_scalars(tmp_path):
+    """A val_fn declared as (params, batch, *scalars) gets the SAME schedule
+    scalars as the train step at that step — required for eval paths that
+    must match training-time state (garf activation anneal: a gamma=1 eval
+    of gamma=0-trained weights reads ~6 dB flat regardless of fit)."""
+    def step_fn(state, batch, key, anneal):
+        return (TinyState(params=state.params, step=state.step + 1),
+                {"loss": jnp.mean(batch["colors"]) * anneal})
+
+    def val_fn(params, batch, anneal):
+        return {"psnr": jnp.asarray(anneal) * 2.0}
+
+    cfg = TrainerConfig(max_steps=16, batch_size=8, log_every_n_steps=5,
+                        val_every_n_epochs=1.0, val_batches=1)
+    store = _store()
+    tr = Trainer(
+        cfg=cfg, train_store=store, step_fn=step_fn,
+        scalar_fn=lambda step, ef: (jnp.asarray(0.25 * step),),
+        metric_logger=MetricLogger(str(tmp_path)),
+        val_store=store, val_fn=val_fn,
+    )
+    tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
+    rows = [r for r in _rows(tmp_path) if "val_psnr" in r]
+    assert rows, "validation never ran"
+    # val reuses the scalars of the train step it follows (computed at
+    # step-1, the pre-increment index): val_psnr = 2 * 0.25 * (step - 1)
+    for r in rows:
+        assert abs(r["val_psnr"] - 2 * 0.25 * (r["step"] - 1)) < 1e-6, r
+
+
+def test_val_fn_without_scalars_still_works(tmp_path):
+    def step_fn(state, batch, key):
+        return (TinyState(params=state.params, step=state.step + 1),
+                {"loss": jnp.mean(batch["colors"])})
+
+    def val_fn(params, batch):
+        return {"psnr": jnp.asarray(1.0)}
+
+    cfg = TrainerConfig(max_steps=16, batch_size=8, log_every_n_steps=5,
+                        val_every_n_epochs=1.0, val_batches=1)
+    store = _store()
+    tr = Trainer(
+        cfg=cfg, train_store=store, step_fn=step_fn,
+        scalar_fn=lambda step, ef: (),
+        metric_logger=MetricLogger(str(tmp_path)),
+        val_store=store, val_fn=val_fn,
+    )
+    tr.fit(TinyState(params={"w": jnp.zeros(3)}, step=jnp.asarray(0)))
+    assert any("val_psnr" in r for r in _rows(tmp_path))
