@@ -236,11 +236,26 @@ def _effective_rows(cfg: HashGridConfig, resolution: int) -> int:
         if cfg.bijective(resolution) else cfg.table_size
 
 
+def _use_pallas_hash() -> bool:
+    """Opt-in Pallas lowering of the matmul table access (builds the one-hot
+    operands in VMEM instead of materializing them through HBM)."""
+    import os
+
+    return os.environ.get("NETPU_PALLAS_HASH", "0") == "1"
+
+
 def _level_matmul_fwd(table_l, idx, w, t_eff, chunk, compute_dtype):
     """table_l (T, F), idx/w (R,) flat rows -> (out_sum (R, F) fp32,
     feats_c (R, F) compute_dtype saved for dw)."""
     T, F = table_l.shape
     n_hi, n_lo = _matmul_factors(t_eff)
+    if _use_pallas_hash():
+        from nerf_experiments_tpu.ops import hashgrid_pallas
+
+        feats = hashgrid_pallas.level_matmul_fwd_pallas(
+            table_l, idx, t_eff, n_hi, n_lo,
+            compute_dtype=compute_dtype)
+        return feats.astype(compute_dtype)
     # only the first t_eff rows are ever indexed at this level (bijective
     # levels use (res+1)^d rows of the padded stacked table)
     tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
@@ -271,6 +286,12 @@ def _level_matmul_dtable(idx, contrib, t_eff, table_rows, chunk, compute_dtype):
     """Transpose direction: dT (table_rows, F) fp32 = onehot(idx)^T @ contrib."""
     F = contrib.shape[-1]
     n_hi, n_lo = _matmul_factors(t_eff)
+    if _use_pallas_hash():
+        from nerf_experiments_tpu.ops import hashgrid_pallas
+
+        return hashgrid_pallas.level_matmul_dtable_pallas(
+            idx, contrib, t_eff, table_rows, n_hi, n_lo,
+            compute_dtype=compute_dtype)
     R = idx.shape[0]
     pad = (-R) % chunk
     idx_p = jnp.pad(idx, (0, pad))

@@ -1,0 +1,159 @@
+"""Pallas kernels for the hash-grid matmul table access.
+
+The XLA `hashgrid.encode_matmul` path expresses the table access as one-hot
+MXU matmuls (idx = hi * n_lo + lo factorizes the one-hot as a Kronecker
+product — see `ops/hashgrid.py`), but XLA must MATERIALIZE the one-hot
+operands through HBM: per 65536-row chunk the A matrix alone is
+chunk x n_hi bf16 (8–64 MB), so the measured step time sits ~10x above the
+FLOP floor. These kernels build A inside VMEM per row tile and feed the MXU
+directly, so HBM traffic drops to the idx/contrib/feats streams.
+
+Per level (reference semantics `2d-ingp/model.py:13-115`,
+`3d-ingp/model.py:14-121` — this is only a faster lowering of the same
+math):
+  forward   feats[r] = table[idx_r]            = select_lo(A @ tbl)
+  backward  dT[t]    = sum_{r: idx_r == t} c_r = A^T @ (onehot_lo * c)
+
+Layout notes (TPU):
+  * hi/lo arrive as COLUMN vectors (R, 1) so they sit on sublanes and the
+    one-hot compare against a lane iota directly yields A (TILE_R, n_hi).
+  * the lo-selection runs as F per-feature lane masks + lane reductions
+    (F <= 8, cheap VPU work).
+  * dtable accumulates in the output block across sequential grid steps
+    (TPU grids are sequential); layout (F, n_hi, n_lo), interleaved back to
+    (rows, F) outside the kernel (table-sized transpose, cheap in XLA).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 2048
+
+
+def _default_interpret() -> bool:
+    """Compiled on TPU; interpret-mode elsewhere (tests on CPU)."""
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except RuntimeError:
+        return True
+
+
+def _fwd_kernel(hi_ref, lo_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
+                compute_dtype):
+    hi = hi_ref[:]                                   # (TILE_R, 1) int32
+    lo = lo_ref[:]                                   # (TILE_R, 1) int32
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    a = (hi == iota_hi).astype(compute_dtype)        # (TILE_R, n_hi)
+    m1 = jnp.dot(a, tbl_ref[:], preferred_element_type=jnp.float32)
+    # (TILE_R, n_lo * n_feat); select column lo*F + f per feature
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo * n_feat), 1)
+    cols = [
+        jnp.sum(jnp.where(lane == lo * n_feat + f, m1, 0.0),
+                axis=1, keepdims=True)
+        for f in range(n_feat)
+    ]
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _dtable_kernel(hi_ref, lo_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
+                   compute_dtype):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    hi = hi_ref[:]                                   # (TILE_R, 1)
+    lo = lo_ref[:]                                   # (TILE_R, 1)
+    c = c_ref[:]                                     # (TILE_R, F) f32
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo), 1)
+    a = (hi == iota_hi).astype(compute_dtype)        # (TILE_R, n_hi)
+    onehot_lo = lo == iota_lo                        # (TILE_R, n_lo) bool
+    for f in range(n_feat):
+        e = jnp.where(onehot_lo, c[:, f:f + 1], 0.0).astype(compute_dtype)
+        # dT_f (n_hi, n_lo) = A^T @ E — contract the row dimension
+        d = jax.lax.dot_general(
+            a, e, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[f] += d
+
+
+def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
+                            compute_dtype=jnp.bfloat16, interpret=None):
+    """table_l (T, F), idx (R,) int32 -> feats (R, F) f32.
+
+    Same contract as `hashgrid._level_matmul_fwd` (minus the unused w arg);
+    `n_hi * n_lo >= t_eff` with idx < t_eff guaranteed by the caller.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    T, F = table_l.shape
+    tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
+        table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
+    R = idx.shape[0]
+    pad = (-R) % TILE_R
+    # pad with an out-of-range row: its one-hot row is all-zero, so padded
+    # rows contribute nothing anywhere
+    idx_p = jnp.pad(idx, (0, pad), constant_values=n_hi * n_lo)
+    hi = (idx_p // n_lo).astype(jnp.int32)[:, None]
+    lo = (idx_p % n_lo).astype(jnp.int32)[:, None]
+    grid = ((R + pad) // TILE_R,)
+    col_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    feats = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
+                          compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            col_spec, col_spec,
+            pl.BlockSpec((n_hi, n_lo * F), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R + pad, F), jnp.float32),
+        interpret=interpret,
+    )(hi, lo, tbl)
+    return feats[:R]
+
+
+def level_matmul_dtable_pallas(idx, contrib, t_eff, table_rows, n_hi, n_lo,
+                               compute_dtype=jnp.bfloat16, interpret=None):
+    """idx (R,) int32, contrib (R, F) f32 -> dT (table_rows, F) f32.
+
+    Same contract as `hashgrid._level_matmul_dtable`.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    R, F = contrib.shape
+    pad = (-R) % TILE_R
+    idx_p = jnp.pad(idx, (0, pad), constant_values=n_hi * n_lo)
+    c_p = jnp.pad(contrib, ((0, pad), (0, 0))).astype(jnp.float32)
+    hi = (idx_p // n_lo).astype(jnp.int32)[:, None]
+    lo = (idx_p % n_lo).astype(jnp.int32)[:, None]
+    grid = ((R + pad) // TILE_R,)
+    col_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        functools.partial(_dtable_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
+                          compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            col_spec, col_spec,
+            pl.BlockSpec((TILE_R, F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, n_hi, n_lo), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n_hi, n_lo), jnp.float32),
+        interpret=interpret,
+    )(hi, lo, c_p)
+    # (F, n_hi, n_lo) -> rows-major (n_hi*n_lo, F)
+    dt = jnp.transpose(acc, (1, 2, 0)).reshape(n_hi * n_lo, F)
+    if dt.shape[0] < table_rows:
+        dt = jnp.pad(dt, ((0, table_rows - dt.shape[0]), (0, 0)))
+    return dt[:table_rows]
