@@ -32,6 +32,11 @@ echo "=== probe $(date +%H:%M:%S) ==="
 timeout 600 python -u -c "import jax, jax.numpy as jnp; print('tunnel ok', float(jnp.ones((8,8)).sum()))" 2>&1 | grep -v WARNING
 echo "probe exit=$?"
 
+echo "=== A0b: Pallas hash-matmul probe (kernel iteration data) $(date +%H:%M:%S) ==="
+timeout 1800 python -u scripts/probe_hash_pallas.py > /tmp/q_hashpl.log 2>&1
+echo "hashpl exit=$? $(date +%H:%M:%S)"
+tail -12 /tmp/q_hashpl.log
+
 echo "=== A1: 3-D INGP quality, 100 views $(date +%H:%M:%S) ==="
 Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
   Q_TABLE=65536 Q_ENCODER=fused Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
