@@ -27,12 +27,14 @@ STEPS = int(os.environ.get("P_STEPS", 20))
 
 
 def timeit(fn, *args):
+    # sync via device->host transfer: the tunnel acks block_until_ready
+    # early (RESULTS.md header)
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(STEPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     return (time.perf_counter() - t0) / STEPS * 1000  # ms
 
 
