@@ -6,7 +6,7 @@ product — see `ops/hashgrid.py`), but XLA must MATERIALIZE the one-hot
 operands through HBM: per 65536-row chunk the A matrix alone is
 chunk x n_hi bf16 (8–64 MB), so the measured step time sits ~10x above the
 FLOP floor. These kernels build A inside VMEM per row tile and feed the MXU
-directly, so HBM traffic drops to the idx/contrib/feats streams.
+directly, so HBM traffic drops to the ids/contrib/feats streams.
 
 Per level (reference semantics `2d-ingp/model.py:13-115`,
 `3d-ingp/model.py:14-121` — this is only a faster lowering of the same
@@ -14,14 +14,19 @@ math):
   forward   feats[r] = table[idx_r]            = select_lo(A @ tbl)
   backward  dT[t]    = sum_{r: idx_r == t} c_r = A^T @ (onehot_lo * c)
 
-Layout notes (TPU):
-  * hi/lo arrive as COLUMN vectors (R, 1) so they sit on sublanes and the
-    one-hot compare against a lane iota directly yields A (TILE_R, n_hi).
+Layout notes (TPU, mirroring the train-megakernel conventions that are
+known-good under this tunnel's compiler):
+  * hi/lo are PACKED as an (R, 8) int32 block (col 0 = hi, col 1 = lo) —
+    8-lane blocks like the megakernel's rows8; single-lane column blocks
+    are avoided.
+  * the one-hot compare broadcasts the (TILE_R, 1) slice of the packed
+    block against a lane iota to yield A (TILE_R, n_hi) in VMEM.
   * the lo-selection runs as F per-feature lane masks + lane reductions
-    (F <= 8, cheap VPU work).
-  * dtable accumulates in the output block across sequential grid steps
-    (TPU grids are sequential); layout (F, n_hi, n_lo), interleaved back to
-    (rows, F) outside the kernel (table-sized transpose, cheap in XLA).
+    (F <= 8, cheap VPU work); feats are written as an (R, 8) lane-padded
+    stats-style block and sliced outside.
+  * dtable accumulates into a FLAT (F*n_hi, n_lo) f32 output across
+    sequential grid steps (TPU grids are sequential); un-interleaved to
+    (rows, F) outside the kernel (table-sized reshape, cheap in XLA).
 """
 from __future__ import annotations
 
@@ -33,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 2048
+_F_PAD = 8  # feats output lane pad (stats-block style)
 
 
 def _default_interpret() -> bool:
@@ -43,10 +49,10 @@ def _default_interpret() -> bool:
         return True
 
 
-def _fwd_kernel(hi_ref, lo_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
+def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
                 compute_dtype):
-    hi = hi_ref[:]                                   # (TILE_R, 1) int32
-    lo = lo_ref[:]                                   # (TILE_R, 1) int32
+    hi = ids_ref[:, 0:1]                             # (TILE_R, 1) int32
+    lo = ids_ref[:, 1:2]                             # (TILE_R, 1) int32
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
     a = (hi == iota_hi).astype(compute_dtype)        # (TILE_R, n_hi)
     m1 = jnp.dot(a, tbl_ref[:], preferred_element_type=jnp.float32)
@@ -57,18 +63,19 @@ def _fwd_kernel(hi_ref, lo_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
                 axis=1, keepdims=True)
         for f in range(n_feat)
     ]
+    cols += [jnp.zeros_like(cols[0])] * (_F_PAD - n_feat)
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
-def _dtable_kernel(hi_ref, lo_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
+def _dtable_kernel(ids_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
                    compute_dtype):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    hi = hi_ref[:]                                   # (TILE_R, 1)
-    lo = lo_ref[:]                                   # (TILE_R, 1)
-    c = c_ref[:]                                     # (TILE_R, F) f32
+    hi = ids_ref[:, 0:1]
+    lo = ids_ref[:, 1:2]
+    c = c_ref[:]                                     # (TILE_R, 8) f32
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo), 1)
     a = (hi == iota_hi).astype(compute_dtype)        # (TILE_R, n_hi)
@@ -79,7 +86,17 @@ def _dtable_kernel(hi_ref, lo_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
         d = jax.lax.dot_general(
             a, e, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[f] += d
+        out_ref[f * n_hi:(f + 1) * n_hi, :] += d
+
+
+def _pack_ids(idx, pad_rows, n_lo, n_hi):
+    """(R,) flat rows -> (R+pad, 8) int32 [hi, lo, 0...]; padded rows get
+    hi = n_hi (matches no one-hot lane, contributes nothing anywhere)."""
+    idx_p = jnp.pad(idx, (0, pad_rows), constant_values=n_hi * n_lo)
+    hi = (idx_p // n_lo).astype(jnp.int32)
+    lo = (idx_p % n_lo).astype(jnp.int32)
+    zeros = jnp.zeros_like(hi)
+    return jnp.stack([hi, lo] + [zeros] * 6, axis=1)
 
 
 def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
@@ -96,29 +113,24 @@ def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
         table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
     R = idx.shape[0]
     pad = (-R) % TILE_R
-    # pad with an out-of-range row: its one-hot row is all-zero, so padded
-    # rows contribute nothing anywhere
-    idx_p = jnp.pad(idx, (0, pad), constant_values=n_hi * n_lo)
-    hi = (idx_p // n_lo).astype(jnp.int32)[:, None]
-    lo = (idx_p % n_lo).astype(jnp.int32)[:, None]
+    ids = _pack_ids(idx, pad, n_lo, n_hi)
     grid = ((R + pad) // TILE_R,)
-    col_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
     feats = pl.pallas_call(
         functools.partial(_fwd_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
                           compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
-            col_spec, col_spec,
+            pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_hi, n_lo * F), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, F), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_R, _F_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R + pad, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R + pad, _F_PAD), jnp.float32),
         interpret=interpret,
-    )(hi, lo, tbl)
-    return feats[:R]
+    )(ids, tbl)
+    return feats[:R, :F]
 
 
 def level_matmul_dtable_pallas(idx, contrib, t_eff, table_rows, n_hi, n_lo,
@@ -131,29 +143,28 @@ def level_matmul_dtable_pallas(idx, contrib, t_eff, table_rows, n_hi, n_lo,
         interpret = _default_interpret()
     R, F = contrib.shape
     pad = (-R) % TILE_R
-    idx_p = jnp.pad(idx, (0, pad), constant_values=n_hi * n_lo)
-    c_p = jnp.pad(contrib, ((0, pad), (0, 0))).astype(jnp.float32)
-    hi = (idx_p // n_lo).astype(jnp.int32)[:, None]
-    lo = (idx_p % n_lo).astype(jnp.int32)[:, None]
+    ids = _pack_ids(idx, pad, n_lo, n_hi)
+    c_p = jnp.zeros((R + pad, _F_PAD), jnp.float32).at[:R, :F].set(
+        contrib.astype(jnp.float32))
     grid = ((R + pad) // TILE_R,)
-    col_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         functools.partial(_dtable_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
                           compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
-            col_spec, col_spec,
-            pl.BlockSpec((TILE_R, F), lambda i: (i, 0),
+            pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, _F_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((F, n_hi, n_lo), lambda i: (0, 0, 0),
+        out_specs=pl.BlockSpec((F * n_hi, n_lo), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, n_hi, n_lo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F * n_hi, n_lo), jnp.float32),
         interpret=interpret,
-    )(hi, lo, c_p)
-    # (F, n_hi, n_lo) -> rows-major (n_hi*n_lo, F)
-    dt = jnp.transpose(acc, (1, 2, 0)).reshape(n_hi * n_lo, F)
+    )(ids, c_p)
+    # (F*n_hi, n_lo) -> rows-major (n_hi*n_lo, F)
+    dt = jnp.transpose(acc.reshape(F, n_hi, n_lo), (1, 2, 0)).reshape(
+        n_hi * n_lo, F)
     if dt.shape[0] < table_rows:
         dt = jnp.pad(dt, ((0, table_rows - dt.shape[0]), (0, 0)))
     return dt[:table_rows]

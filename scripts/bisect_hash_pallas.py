@@ -156,4 +156,18 @@ run("s5_dtable_3d", lambda: pl.pallas_call(
     out_shape=jax.ShapeDtypeStruct((F, N_HI, N_LO), jnp.float32),
 )(hi, lo, c))
 
+
+# --- the shipped (megakernel-convention) layout: packed (R, 8) ids ---
+from nerf_experiments_tpu.ops import hashgrid_pallas  # noqa: E402
+
+idx = jnp.zeros((R,), jnp.int32)
+table_l = jnp.ones((N_HI * N_LO, F), jnp.float32)
+contrib = jnp.ones((R, F), jnp.float32)
+
+run("s6_shipped_fwd", lambda: hashgrid_pallas.level_matmul_fwd_pallas(
+    table_l, idx, N_HI * N_LO, N_HI, N_LO, jnp.bfloat16, interpret=False))
+run("s7_shipped_dtable", lambda: hashgrid_pallas.level_matmul_dtable_pallas(
+    idx, contrib, N_HI * N_LO, N_HI * N_LO, N_HI, N_LO, jnp.bfloat16,
+    interpret=False))
+
 print(json.dumps({"done": True, "tile": TILE_R}))
