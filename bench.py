@@ -438,7 +438,24 @@ def main():
         # runs through the same hierarchical/fused path reach 30 dB novel
         # view at −95.6% pose). All configs stay visible in `detail`.
         detail["headline_path"] = "xla_dense"
-        for name in ("fused_step", "north_star_S32", "north_star_occ_S32"):
+        candidates = ["fused_step", "north_star_S32", "north_star_occ_S32"]
+        # the blk4 block-coarse TRAIN configs are promoted to headline
+        # candidates ONLY once their held-out quality delta is recorded
+        # (scripts/study_train_block.py writes the study file; gate: blk4
+        # within 0.3 dB of blk1 on the 12k protocol — VERDICT r3 #2)
+        study_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "evidence", "studies", "train_block_study.json")
+        try:
+            with open(study_path) as f:
+                study = json.load(f)["train_block_study"]
+            delta4 = study["blk1"]["test_psnr"] - study["blk4"]["test_psnr"]
+            detail["train_block_quality_delta_db"] = round(delta4, 2)
+            if delta4 <= 0.3:
+                candidates += ["north_star_S32_blk4", "north_star_occ_S32_blk4"]
+        except (OSError, KeyError, ValueError, TypeError):
+            pass
+        for name in candidates:
             rps = detail.get(name, {}).get("rays_per_sec", 0) or 0
             if rps > headline:
                 headline = rps

@@ -82,5 +82,10 @@ for blk in BLOCKS:
     }
     print(json.dumps({f"blk{blk}": results[f"blk{blk}"]}), flush=True)
 
-print(json.dumps({"train_block_study": results, "steps": STEPS,
-                  "size": SIZE}))
+summary = {"train_block_study": results, "steps": STEPS, "size": SIZE}
+print(json.dumps(summary))
+# persist for bench.py's headline gate (blk4 may only take the headline
+# with its quality delta recorded — VERDICT r3 #2)
+os.makedirs("docs/evidence/studies", exist_ok=True)
+with open("docs/evidence/studies/train_block_study.json", "w") as f:
+    json.dump(summary, f, indent=1)
