@@ -86,7 +86,21 @@ def analyze():
         print(json.dumps({"error": "no xplane.pb produced", "out": OUT}))
         return
     path = max(paths, key=os.path.getmtime)
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    # the xplane proto ships under different roots per TF/TSL packaging
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "tensorflow.core.profiler.protobuf.xplane_pb2",
+                "tsl.profiler.protobuf.xplane_pb2"):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        print(json.dumps({"error": "no xplane proto module found"}))
+        return
 
     space = xplane_pb2.XSpace()
     with open(path, "rb") as f:
@@ -114,8 +128,15 @@ def analyze():
         report[plane.name] = {"plane_total_us": round(plane_total, 1),
                               "per_step_us": round(plane_total / STEPS, 1),
                               "top": rows}
-    print(json.dumps({"trace": path, "config": CONFIG, "batch": BATCH,
-                      "steps": STEPS, "planes": report}, indent=1))
+    payload = {"trace": path, "config": CONFIG, "batch": BATCH,
+               "steps": STEPS, "planes": report}
+    print(json.dumps(payload, indent=1))
+    # committable evidence (VERDICT r3 #3: trace summary under docs/evidence)
+    ev_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "evidence", "studies")
+    os.makedirs(ev_dir, exist_ok=True)
+    with open(os.path.join(ev_dir, f"profile_trace_{CONFIG}.json"), "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
