@@ -32,6 +32,10 @@ class IngpModelDef:
     learning_rate_start: float = 1e-3
     learning_rate_stop: float = 1e-4
     learning_rate_decay_end: int = 100_000
+    # hash tables have no smoothness prior; L2 decay is the INGP paper's
+    # overfit mitigation (1e-6 there on the MLP; here applied to the whole
+    # group — tables dominate the parameter count)
+    weight_decay: float = 0.0
 
     def init(self, key):
         return ingp.nerf_ingp_init(key, self.cfg)
@@ -43,7 +47,8 @@ class IngpModelDef:
     @property
     def param_group(self) -> ParamGroup:
         return ParamGroup(self.learning_rate_start, self.learning_rate_stop,
-                          self.learning_rate_decay_end)
+                          self.learning_rate_decay_end,
+                          weight_decay=self.weight_decay)
 
 
 def parse_args(argv=None):
@@ -58,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--n_hidden", type=int, default=2)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="L2 decay on the hash-NeRF group (INGP paper uses "
+                        "1e-6) — overfit mitigation for small view counts")
     p.add_argument("--encoder", choices=("fused", "matmul"), default="fused",
                    help="table access: flattened gather (fused) or the "
                         "gather-free factorized one-hot MXU path (matmul)")
@@ -97,7 +105,8 @@ def build(args) -> common.BarfExperiment:
         encoder=args.encoder,
     )
     model_def = IngpModelDef(cfg=model_cfg, learning_rate_start=args.learning_rate,
-                             learning_rate_stop=args.learning_rate / 10)
+                             learning_rate_stop=args.learning_rate / 10,
+                             weight_decay=args.weight_decay)
 
     cfg = barf_sys.BarfConfig(
         radiance=model_def,

@@ -29,6 +29,7 @@ TABLE = int(os.environ.get("Q_TABLE", 65536))
 ENCODER = os.environ.get("Q_ENCODER", "fused")
 SAMPLES = int(os.environ.get("Q_SAMPLES", 64))
 COARSE = int(os.environ.get("Q_COARSE", 32))
+WD = float(os.environ.get("Q_WD", 0.0))
 VIEWS = int(os.environ.get("Q_VIEWS", 24))
 RES_MAX = int(os.environ.get("Q_RES_MAX", 512))
 SCENE = os.environ.get(
@@ -55,25 +56,50 @@ common_flags = [
 ]
 args = run_3d_ingp.parse_args(common_flags + [
     "--max_steps", str(STEPS),
+    "--weight_decay", str(WD),
     "--checkpoint_every_n_epochs", "4",
 ])
 exp = run_3d_ingp.build(args)
 state = exp.fit()
 print("done", int(state.step))
 
-summary = render_views.main([
-    "--entry", "ingp",
-    "--ckpt_dir", os.path.join(os.path.abspath(OUT), "ckpt"),
-    "--scene_path", SCENE, "--image_size", str(SIZE),
-    "--batch_size", "1024",
-    "--samples_per_ray", str(SAMPLES),
-    "--samples_per_ray_proposal", str(COARSE),
-    # run_3d_ingp MLP geometry (render_views' own defaults are run_barf's)
-    "--hidden_dim", "64", "--n_hidden", "2",
-    "--ingp_n_levels", str(LEVELS), "--ingp_n_features", str(FEATURES),
-    "--ingp_table_size", str(TABLE), "--ingp_encoder", ENCODER,
-    "--ingp_resolution_max", str(RES_MAX),
-    "--bf16",
-    "--split", "test", "--out_dir", os.path.join(OUT, "novel_views"),
-])
+
+def _render(ckpt_step, tag):
+    return render_views.main([
+        "--entry", "ingp",
+        "--ckpt_dir", os.path.join(os.path.abspath(OUT), "ckpt"),
+        "--scene_path", SCENE, "--image_size", str(SIZE),
+        "--batch_size", "1024",
+        "--samples_per_ray", str(SAMPLES),
+        "--samples_per_ray_proposal", str(COARSE),
+        # run_3d_ingp MLP geometry (render_views' own defaults are run_barf's)
+        "--hidden_dim", "64", "--n_hidden", "2",
+        "--ingp_n_levels", str(LEVELS), "--ingp_n_features", str(FEATURES),
+        "--ingp_table_size", str(TABLE), "--ingp_encoder", ENCODER,
+        "--ingp_resolution_max", str(RES_MAX),
+        "--bf16",
+        "--split", "test", "--out_dir", os.path.join(OUT, f"novel_views{tag}"),
+    ] + (["--ckpt_step", str(ckpt_step)] if ckpt_step else []))
+
+
+summary = _render(None, "")
 print(json.dumps({"novel_view_summary": summary}, default=str))
+
+# early-stopping render: pick the checkpoint nearest the val-PSNR peak
+# (hash-grid NeRFs can overfit past their val optimum — the r3 24-view run
+# peaked at step 1501 of 12k)
+try:
+    rows = [json.loads(l) for l in open(os.path.join(OUT, "metrics.jsonl"))]
+    val = [(r["step"], r["val_psnr"]) for r in rows if "val_psnr" in r]
+    ckpts = sorted(int(d) for d in os.listdir(os.path.join(OUT, "ckpt"))
+                   if d.isdigit())
+    if val and ckpts:
+        peak_step = max(val, key=lambda t: t[1])[0]
+        best_ckpt = min(ckpts, key=lambda c: abs(c - peak_step))
+        if best_ckpt != ckpts[-1]:
+            s2 = _render(best_ckpt, "_bestval")
+            print(json.dumps({"novel_view_summary_bestval": s2,
+                              "val_peak_step": peak_step,
+                              "ckpt_step": best_ckpt}, default=str))
+except Exception as e:  # noqa: BLE001 — best-val render is best-effort
+    print(json.dumps({"bestval_render_error": str(e)[:200]}))

@@ -16,6 +16,7 @@ echo "=== queueD start $(date +%H:%M:%S) ==="
 echo "=== D1: INGP fast-config quality (matmul T=16384) $(date +%H:%M:%S) ==="
 Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
   Q_TABLE=16384 Q_ENCODER=matmul Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
+  Q_WD=1e-6 \
   Q_OUT=runs/quality_ingp3d_fast \
   timeout 4800 python -u scripts/quality_ingp3d.py > /tmp/q_ingpfast.log 2>&1
 echo "ingpfast exit=$? $(date +%H:%M:%S)"
