@@ -233,8 +233,13 @@ def _render(args, exp):
 
     mean_psnr = float(np.mean([r["psnr"] for r in results]))
     summary = {"split": args.split, "mean_psnr": mean_psnr, "per_image": results,
-               "ckpt_step": mgr.latest_step() if args.ckpt_step is None else args.ckpt_step}
+               "ckpt_step": mgr.latest_step() if args.ckpt_step is None else args.ckpt_step,
+               "serve_block": args.serve_block}
     print(json.dumps(summary))
+    # committable artifact: persist_evidence collects *summary.json files
+    # from the run dir, so the novel-view PSNR travels with the evidence
+    with open(os.path.join(args.out_dir, "render_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     return summary
 
 

@@ -85,7 +85,7 @@ def main(argv=None):
     # any summary jsons the run itself produced (novel-view renders etc.)
     for dirpath, _, files in os.walk(args.run_dir):
         for fn in files:
-            if fn.endswith("summary.json"):
+            if fn.endswith(("summary.json", "novel_views.json")):
                 with open(os.path.join(dirpath, fn)) as f:
                     summary.setdefault("attached", {})[
                         os.path.relpath(os.path.join(dirpath, fn), args.run_dir)
