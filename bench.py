@@ -331,6 +331,17 @@ def bench_serving(steps, compute_dtype):
                        rb["pixel_width"])
         float(r[0, 0])
         out[name] = round(batch * steps / (time.perf_counter() - t0), 1)
+    # attach the held-out PSNR table recorded by study_serving_quality.py
+    # (RESULTS.md serving-quality section) so the fast-serving numbers never
+    # travel without their quality column
+    sq_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "docs", "evidence", "studies",
+                           "serving_quality.json")
+    try:
+        with open(sq_path) as f:
+            out["quality_psnr"] = json.load(f)["serving_quality_psnr"]
+    except (OSError, KeyError, ValueError):
+        pass
     return out
 
 

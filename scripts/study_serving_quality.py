@@ -79,5 +79,9 @@ for name, extra in configs.items():
     summary[name] = round(s["mean_psnr"], 2)
     print(json.dumps({name: summary[name]}), flush=True)
 
-print(json.dumps({"serving_quality_psnr": summary, "steps": STEPS,
-                  "size": SIZE}))
+payload = {"serving_quality_psnr": summary, "steps": STEPS, "size": SIZE}
+print(json.dumps(payload))
+# persist for bench.py's serving row (PSNR column next to rays/s)
+os.makedirs("docs/evidence/studies", exist_ok=True)
+with open("docs/evidence/studies/serving_quality.json", "w") as f:
+    json.dump(payload, f, indent=1)
