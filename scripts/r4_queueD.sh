@@ -13,6 +13,11 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueD start $(date +%H:%M:%S) ==="
 
+echo "=== D0: train-step batch-size probe (8k/16k/32k) $(date +%H:%M:%S) ==="
+P_STEPS=20 timeout 2400 python -u scripts/probe_train_batch.py > /tmp/q_trainbatch.log 2>&1
+echo "trainbatch exit=$? $(date +%H:%M:%S)"
+grep -v WARNING /tmp/q_trainbatch.log | tail -14
+
 echo "=== D1: INGP fast-config quality (matmul T=16384) $(date +%H:%M:%S) ==="
 Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
   Q_TABLE=16384 Q_ENCODER=matmul Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
