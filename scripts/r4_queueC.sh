@@ -1,11 +1,12 @@
 #!/bin/bash
-# Round-4 TPU queue C — runs after r4_queueB.sh exits ($1 = its pid).
-# C1: Mip-BARF at the reference schedule length (VERDICT #6 — 200k steps,
-#     `barf/run_bip_barf.py:22-60`; the 60k r3 run was schedule-limited at
-#     26.0 dB with pose still descending).
-# C2: 400^2 BARF capstone rerun (VERDICT #7 — flagship evidence was lost
-#     with the runs/ reset).
-# C3: mip_NeRF standalone quality run (component #29, partial since r1).
+# Round-4 TPU queue C (restructured) — runs after r4_queueB.sh ($1 = pid).
+# Order: short high-value probes first, then the long quality runs.
+# C0: train-step batch-size probe (8k/16k/32k).
+# C0b: INGP fast-config quality (matmul T=16384 + wd 1e-6, 100 views) —
+#      pairs the VERDICT #4 throughput bar with its quality validation.
+# C1: Mip-BARF 200k (reference schedule length, VERDICT #6).
+# C2: 400^2 BARF capstone rerun (VERDICT #7).
+# C3: mip_NeRF standalone quality run (component #29).
 # C4: bench refresh.
 set -u
 cd /root/repo
@@ -15,6 +16,21 @@ if [ "${1:-}" != "" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
 echo "=== queueC start $(date +%H:%M:%S) ==="
+
+echo "=== C0: train-step batch-size probe $(date +%H:%M:%S) ==="
+P_STEPS=20 timeout 2400 python -u scripts/probe_train_batch.py > /tmp/q_trainbatch.log 2>&1
+echo "trainbatch exit=$? $(date +%H:%M:%S)"
+grep -v WARNING /tmp/q_trainbatch.log | tail -14
+
+echo "=== C0b: INGP fast-config quality (matmul T=16384 + wd) $(date +%H:%M:%S) ==="
+Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
+  Q_TABLE=16384 Q_ENCODER=matmul Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
+  Q_WD=1e-6 \
+  Q_OUT=runs/quality_ingp3d_fast \
+  timeout 4800 python -u scripts/quality_ingp3d.py > /tmp/q_ingpfast.log 2>&1
+echo "ingpfast exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_ingp3d_fast --name quality_ingp3d_fast || true
+tail -5 /tmp/q_ingpfast.log
 
 echo "=== C1: Mip-BARF 200k (reference schedule length) $(date +%H:%M:%S) ==="
 Q_SIZE=256 Q_STEPS=200000 Q_BATCH=4096 Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 \
