@@ -85,7 +85,11 @@ for blk in BLOCKS:
 summary = {"train_block_study": results, "steps": STEPS, "size": SIZE}
 print(json.dumps(summary))
 # persist for bench.py's headline gate (blk4 may only take the headline
-# with its quality delta recorded — VERDICT r3 #2)
+# with its quality delta recorded — VERDICT r3 #2); auxiliary runs (e.g.
+# the equal-wall-clock blk1 rerun, Q_OUT override) get their own file so
+# the canonical study is never clobbered
 os.makedirs("docs/evidence/studies", exist_ok=True)
-with open("docs/evidence/studies/train_block_study.json", "w") as f:
+fname = ("train_block_study.json" if OUT_BASE == "runs/train_block"
+         else f"train_block_study_{os.path.basename(OUT_BASE)}.json")
+with open(os.path.join("docs/evidence/studies", fname), "w") as f:
     json.dump(summary, f, indent=1)
