@@ -60,9 +60,10 @@ Q_STEPS=20000 timeout 1800 python -u scripts/quality_2d_real.py > /tmp/q_2d.log 
 echo "2d exit=$? $(date +%H:%M:%S)"
 tail -10 /tmp/q_2d.log
 
-echo "=== B3: INGP encoder x table study $(date +%H:%M:%S) ==="
-S_BATCH=4096 S_STEPS=20 S_TABLES=4096,8192,16384,65536 \
-  timeout 2700 python -u scripts/study_ingp_encoder.py > /tmp/q_ingp_enc.log 2>&1
+echo "=== B3: INGP encoder x table study (trimmed — the pallas probe and
+the C0b quality run cover the rest) $(date +%H:%M:%S) ==="
+S_BATCH=4096 S_STEPS=20 S_TABLES=8192,16384 S_GEOS=wide_4x8 \
+  timeout 1500 python -u scripts/study_ingp_encoder.py > /tmp/q_ingp_enc.log 2>&1
 echo "ingp_enc exit=$? $(date +%H:%M:%S)"
 tail -20 /tmp/q_ingp_enc.log
 

@@ -32,6 +32,13 @@ echo "ingpfast exit=$? $(date +%H:%M:%S)"
 python scripts/persist_evidence.py runs/quality_ingp3d_fast --name quality_ingp3d_fast || true
 tail -5 /tmp/q_ingpfast.log
 
+echo "=== C3(early): mip_NeRF standalone quality run (256^2) $(date +%H:%M:%S) ==="
+Q_SIZE=256 Q_STEPS=30000 \
+  timeout 3600 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone.log 2>&1
+echo "mipstandalone exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_mip_standalone --name quality_mip_standalone || true
+tail -5 /tmp/q_mipstandalone.log
+
 echo "=== C1: Mip-BARF 200k (reference schedule length) $(date +%H:%M:%S) ==="
 Q_SIZE=256 Q_STEPS=200000 Q_BATCH=4096 Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 \
   Q_SIGMA_END_FRAC=0.3 Q_OUT=runs/quality_mip_200k \
@@ -47,12 +54,6 @@ Q_SIZE=400 Q_STEPS=60000 Q_BATCH=4096 Q_FUSED=1 Q_PROPOSAL=64 \
 echo "barf400 exit=$? $(date +%H:%M:%S)"
 python scripts/persist_evidence.py runs/quality_barf_400 --name quality_barf_400 || true
 tail -5 /tmp/q_barf400.log
-
-echo "=== C3: mip_NeRF standalone quality run $(date +%H:%M:%S) ==="
-timeout 5400 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone.log 2>&1
-echo "mipstandalone exit=$? $(date +%H:%M:%S)"
-python scripts/persist_evidence.py runs/quality_mip_standalone --name quality_mip_standalone || true
-tail -5 /tmp/q_mipstandalone.log
 
 echo "=== C4: bench refresh $(date +%H:%M:%S) ==="
 timeout 3000 python -u bench.py > /tmp/q_bench.log 2>&1
