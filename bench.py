@@ -345,6 +345,20 @@ def bench_serving(steps, compute_dtype):
     return out
 
 
+def _with_env(key, value, fn):
+    """Run fn with an env var set, restoring it after (bench configs that
+    flip a dispatch flag must not leak it into later configs)."""
+    old = os.environ.get(key)
+    os.environ[key] = value
+    try:
+        return fn()
+    finally:
+        if old is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = old
+
+
 def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     samples = int(os.environ.get("BENCH_SAMPLES", 128))
@@ -435,6 +449,15 @@ def main():
                 compute_dtype, n_levels=4, n_features=8,
                 table_size=int(os.environ.get("BENCH_INGP_MM_TABLE", 8192)),
                 encoder="matmul")),
+            # hybrid Pallas table access: VMEM one-hot forward + XLA
+            # transpose (scripts/probe_hash_pallas.py measurements)
+            ("ingp_matmul_pallas", lambda: _with_env(
+                "NETPU_PALLAS_HASH", "1",
+                lambda: bench_ingp(
+                    int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                    compute_dtype, n_levels=4, n_features=8,
+                    table_size=int(os.environ.get("BENCH_INGP_MM_TABLE", 8192)),
+                    encoder="matmul"))),
         ]:
             try:
                 detail[name] = fn()

@@ -238,7 +238,14 @@ def _effective_rows(cfg: HashGridConfig, resolution: int) -> int:
 
 def _use_pallas_hash() -> bool:
     """Opt-in Pallas lowering of the matmul table access (builds the one-hot
-    operands in VMEM instead of materializing them through HBM)."""
+    operands in VMEM instead of materializing them through HBM).
+
+    MEASURED (v5e, 2M rows, scripts/probe_hash_pallas.py): the Pallas
+    FORWARD is 1.6x (T=8192/16384) to 4.0x (T=65536) faster than the XLA
+    scan and nearly table-size-independent (7.9-8.3 ms); the Pallas dtable
+    is 2x SLOWER than XLA's chunked scan (per-grid-step accumulator RMW
+    dominates its small GEMMs), so NETPU_PALLAS_HASH=1 selects the HYBRID:
+    Pallas forward + XLA transpose."""
     import os
 
     return os.environ.get("NETPU_PALLAS_HASH", "0") == "1"
@@ -286,12 +293,9 @@ def _level_matmul_dtable(idx, contrib, t_eff, table_rows, chunk, compute_dtype):
     """Transpose direction: dT (table_rows, F) fp32 = onehot(idx)^T @ contrib."""
     F = contrib.shape[-1]
     n_hi, n_lo = _matmul_factors(t_eff)
-    if _use_pallas_hash():
-        from nerf_experiments_tpu.ops import hashgrid_pallas
-
-        return hashgrid_pallas.level_matmul_dtable_pallas(
-            idx, contrib, t_eff, table_rows, n_hi, n_lo,
-            compute_dtype=compute_dtype)
+    # NOTE: no Pallas branch here — the measured hybrid keeps XLA for the
+    # transpose direction (see _use_pallas_hash docstring); the Pallas
+    # dtable kernel remains available in hashgrid_pallas for benchmarking.
     R = idx.shape[0]
     pad = (-R) % chunk
     idx_p = jnp.pad(idx, (0, pad))

@@ -37,8 +37,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 2048
 _F_PAD = 8  # feats output lane pad (stats-block style)
+
+
+def _tile_rows(n_lo: int, n_feat: int) -> int:
+    """Row-tile size bounded by VMEM: the fp32 M1 intermediate is
+    TILE_R x (n_lo*F) — cap it at ~2 MB so the kernel (with its inputs,
+    one-hot A, and double buffering) stays inside the ~16 MB VMEM. An
+    oversized tile crashes the remote Mosaic compile (observed as an
+    opaque HTTP 500 from the tunnel's compile helper at F=8)."""
+    cap = (2 * 1024 * 1024) // (n_lo * n_feat * 4)
+    return max(256, min(4096, (cap // 256) * 256))
 
 
 def _default_interpret() -> bool:
@@ -109,23 +118,24 @@ def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
     if interpret is None:
         interpret = _default_interpret()
     T, F = table_l.shape
+    tile_r = _tile_rows(n_lo, F)
     tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
         table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
     R = idx.shape[0]
-    pad = (-R) % TILE_R
+    pad = (-R) % tile_r
     ids = _pack_ids(idx, pad, n_lo, n_hi)
-    grid = ((R + pad) // TILE_R,)
+    grid = ((R + pad) // tile_r,)
     feats = pl.pallas_call(
         functools.partial(_fwd_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
                           compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_hi, n_lo * F), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, _F_PAD), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_r, _F_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R + pad, _F_PAD), jnp.float32),
         interpret=interpret,
@@ -142,19 +152,20 @@ def level_matmul_dtable_pallas(idx, contrib, t_eff, table_rows, n_hi, n_lo,
     if interpret is None:
         interpret = _default_interpret()
     R, F = contrib.shape
-    pad = (-R) % TILE_R
+    tile_r = _tile_rows(n_lo, F)
+    pad = (-R) % tile_r
     ids = _pack_ids(idx, pad, n_lo, n_hi)
     c_p = jnp.zeros((R + pad, _F_PAD), jnp.float32).at[:R, :F].set(
         contrib.astype(jnp.float32))
-    grid = ((R + pad) // TILE_R,)
+    grid = ((R + pad) // tile_r,)
     acc = pl.pallas_call(
         functools.partial(_dtable_kernel, n_hi=n_hi, n_lo=n_lo, n_feat=F,
                           compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, _F_PAD), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, _F_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((F * n_hi, n_lo), lambda i: (0, 0),
