@@ -1,13 +1,8 @@
 #!/bin/bash
-# Round-4 TPU queue C (restructured) — runs after r4_queueB.sh ($1 = pid).
-# Order: short high-value probes first, then the long quality runs.
-# C0: train-step batch-size probe (8k/16k/32k).
-# C0b: INGP fast-config quality (matmul T=16384 + wd 1e-6, 100 views) —
-#      pairs the VERDICT #4 throughput bar with its quality validation.
-# C1: Mip-BARF 200k (reference schedule length, VERDICT #6).
-# C2: 400^2 BARF capstone rerun (VERDICT #7).
-# C3: mip_NeRF standalone quality run (component #29).
-# C4: bench refresh.
+# Round-4 TPU queue C (final order) — after r4_queueB.sh ($1 = pid).
+# Essentials first; droppable probes last (the round clock cuts from the
+# tail). The driver's own post-round bench run records BENCH_r04, so no
+# in-queue bench refresh is needed.
 set -u
 cd /root/repo
 
@@ -17,22 +12,7 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueC start $(date +%H:%M:%S) ==="
 
-echo "=== C0: train-step batch-size probe $(date +%H:%M:%S) ==="
-P_STEPS=20 timeout 2400 python -u scripts/probe_train_batch.py > /tmp/q_trainbatch.log 2>&1
-echo "trainbatch exit=$? $(date +%H:%M:%S)"
-grep -v WARNING /tmp/q_trainbatch.log | tail -14
-
-echo "=== C0b: INGP fast-config quality (matmul T=16384 + wd) $(date +%H:%M:%S) ==="
-Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
-  Q_TABLE=16384 Q_ENCODER=matmul Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
-  Q_WD=1e-6 \
-  Q_OUT=runs/quality_ingp3d_fast \
-  timeout 4800 python -u scripts/quality_ingp3d.py > /tmp/q_ingpfast.log 2>&1
-echo "ingpfast exit=$? $(date +%H:%M:%S)"
-python scripts/persist_evidence.py runs/quality_ingp3d_fast --name quality_ingp3d_fast || true
-tail -5 /tmp/q_ingpfast.log
-
-echo "=== C3(early): mip_NeRF standalone quality run (256^2) $(date +%H:%M:%S) ==="
+echo "=== C3: mip_NeRF standalone quality run (256^2) $(date +%H:%M:%S) ==="
 Q_SIZE=256 Q_STEPS=30000 \
   timeout 3600 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone.log 2>&1
 echo "mipstandalone exit=$? $(date +%H:%M:%S)"
@@ -55,9 +35,19 @@ echo "barf400 exit=$? $(date +%H:%M:%S)"
 python scripts/persist_evidence.py runs/quality_barf_400 --name quality_barf_400 || true
 tail -5 /tmp/q_barf400.log
 
-echo "=== C4: bench refresh $(date +%H:%M:%S) ==="
-timeout 3000 python -u bench.py > /tmp/q_bench.log 2>&1
-echo "bench exit=$? $(date +%H:%M:%S)"
-tail -2 /tmp/q_bench.log
+echo "=== C0: train-step batch-size probe $(date +%H:%M:%S) ==="
+P_STEPS=20 timeout 2400 python -u scripts/probe_train_batch.py > /tmp/q_trainbatch.log 2>&1
+echo "trainbatch exit=$? $(date +%H:%M:%S)"
+grep -v WARNING /tmp/q_trainbatch.log | tail -14
+
+echo "=== C0b: INGP fast-config quality (matmul T=16384 + wd) $(date +%H:%M:%S) ==="
+Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=8 \
+  Q_TABLE=16384 Q_ENCODER=matmul Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
+  Q_WD=1e-6 \
+  Q_OUT=runs/quality_ingp3d_fast \
+  timeout 4800 python -u scripts/quality_ingp3d.py > /tmp/q_ingpfast.log 2>&1
+echo "ingpfast exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_ingp3d_fast --name quality_ingp3d_fast || true
+tail -5 /tmp/q_ingpfast.log
 
 echo "=== queueC done $(date +%H:%M:%S) ==="
