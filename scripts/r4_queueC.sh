@@ -12,6 +12,13 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueC start $(date +%H:%M:%S) ==="
 
+echo "=== Cpre: GaborF checkpoint render (B1 render phase was timeout-cut) $(date +%H:%M:%S) ==="
+Q_OUT=runs/quality_gabor_joint Q_ACTIVATION=gabor \
+  timeout 1200 python -u scripts/render_garf_ckpt.py > /tmp/q_gabor_render.log 2>&1
+echo "gabor_render exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_gabor_joint --name quality_gabor_r4 || true
+grep -a novel_view_summary /tmp/q_gabor_render.log | head -c 300
+
 echo "=== C3: mip_NeRF standalone quality run (256^2) $(date +%H:%M:%S) ==="
 Q_SIZE=256 Q_STEPS=30000 \
   timeout 3600 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone.log 2>&1
