@@ -86,6 +86,10 @@ def build(args) -> common.BarfExperiment:
         ),
         share_proposal_net=not args.use_seperate_coarse_fine,
         coarse_loss_weight=0.1,
+        # mip_NeRF's own magic: MAGIC_NUMBER=7 -> density scale 21
+        # (`mip_NeRF/model_interpolation.py:8,216`) — required at the
+        # near/far 1/10–1/3 scale (see BarfConfig.density_scale)
+        density_scale=21.0,
         uniform_sampling_strategy="stratified_uniform",
         optimize_camera=False,
         gaussian_blur_sigmas=(0.0,),

@@ -150,6 +150,14 @@ class BarfConfig:
     uniform_sampling_offset_size: float = 0.0
     integration_strategy: str = "middle"
     coarse_loss_weight: float = 1.0  # MipNeRF uses 0.1 (model_mip.py:73)
+    # Renderer density scale = 3 * MAGIC_NUMBER. The barf family uses
+    # MAGIC_NUMBER=1/3 (net 1.0, `barf/magic.py`), but mip_NeRF uses
+    # MAGIC_NUMBER=7 (net 21, `mip_NeRF/model_interpolation.py:8,216`) —
+    # REQUIRED at its near/far 1/10–1/3: dt is ~40x smaller than at 2–8,
+    # and without the boost the density gradients cannot lift the field
+    # out of the empty basin (measured: the 4x256 net stays at ~10 dB
+    # indefinitely with scale 1, trains normally with 21).
+    density_scale: float = render.DENSITY_SCALE
     # Block-coarse TRAINING (train_step_fused only): with batches sampled as
     # aligned runs of N raster-consecutive rays (TrainerConfig.batch_block),
     # the coarse stage (proposal fwd+VJP or occ gather + PDF resample) runs
@@ -359,7 +367,8 @@ def forward(
                 cfg.integration_strategy, pixel_width_sigma,
             )
             rgb_coarse, weights = render.render_rays_auto(
-                dens_c, rgb_c_samples, tc_end - tc_start)
+                dens_c, rgb_c_samples, tc_end - tc_start,
+                density_scale=cfg.density_scale)
         tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
@@ -382,7 +391,9 @@ def forward(
             prop_model, prop_params, ray_origs, ray_dirs, tc_start, tc_end,
             pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
         )
-        rgb_coarse, weights = render.render_rays_auto(dens_c, rgb_c_samples, tc_end - tc_start)
+        rgb_coarse, weights = render.render_rays_auto(
+            dens_c, rgb_c_samples, tc_end - tc_start,
+            density_scale=cfg.density_scale)
         tf_start, tf_end = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, jax.lax.stop_gradient(weights),
             cfg.samples_per_ray_radiance, cfg.far,
@@ -398,7 +409,9 @@ def forward(
         tf_start, tf_end,
         pixel_width, alpha_pos, alpha_dir, cfg.integration_strategy, pixel_width_sigma,
     )
-    rgb_fine, _ = render.render_rays_auto(dens_f, rgb_f_samples, tf_end - tf_start)
+    rgb_fine, _ = render.render_rays_auto(dens_f, rgb_f_samples,
+                                          tf_end - tf_start,
+                                          density_scale=cfg.density_scale)
     return rgb_fine, rgb_coarse
 
 
@@ -743,7 +756,10 @@ def can_fuse_train_step(cfg: BarfConfig) -> bool:
     second (small) kernel launch when its architecture qualifies
     (`_fusable_coarse_cfg`), else in XLA."""
     return (_flagship_mlp(cfg.radiance) is not None
-            and cfg.integration_strategy == "middle")
+            and cfg.integration_strategy == "middle"
+            # the mega-kernels bake the default density scale; non-default
+            # scales (mip_NeRF's 21) take the XLA path
+            and cfg.density_scale == render.DENSITY_SCALE)
 
 
 def render_block_coarse(
@@ -797,7 +813,8 @@ def render_block_coarse(
             jnp.full((rep_origs.shape[0], 1), pixel_width), alpha_pos,
             alpha_dir, cfg.integration_strategy,
         )
-        _, weights = render.render_rays_auto(dens_c, rgb_c, tc_end - tc_start)
+        _, weights = render.render_rays_auto(dens_c, rgb_c, tc_end - tc_start,
+                                             density_scale=cfg.density_scale)
         t_start_r, t_end_r = sampling.sample_pdf_weighted_intervals(
             tc_start, tc_end, weights, cfg.samples_per_ray_radiance, cfg.far,
         )
@@ -822,7 +839,8 @@ def render_block_coarse(
         t_start, t_end, jnp.full((n_rays, 1), pixel_width), alpha_pos,
         alpha_dir, cfg.integration_strategy,
     )
-    rgb, _ = render.render_rays_auto(dens_f, rgb_f, t_end - t_start)
+    rgb, _ = render.render_rays_auto(dens_f, rgb_f, t_end - t_start,
+                                     density_scale=cfg.density_scale)
     return rgb
 
 

@@ -1,8 +1,10 @@
 #!/bin/bash
-# Round-4 TPU queue D — last bonus job after r4_queueC.sh ($1 = pid).
-# D1: SARF 100k freeze recipe (pre-ramp budget -> target >=-89% pose).
-# Likely cut by round end; partial metrics are committed by the end-of-
-# round snapshot and show the pre-ramp pose trajectory.
+# Round-4 TPU queue D — after r4_queueC.sh ($1 = pid).
+# D0: mip_NeRF standalone RERUN with the density-scale parity fix
+#     (MAGIC_NUMBER=7 -> scale 21, `mip_NeRF/model_interpolation.py:8,216`;
+#     the first C3 attempt ran before the fix and stayed at ~10 dB).
+# D1: SARF 100k freeze recipe (will be cut by round end; partial metrics
+#     are committed by the end-of-round snapshot).
 set -u
 cd /root/repo
 
@@ -11,6 +13,13 @@ if [ "${1:-}" != "" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 30; done
 fi
 echo "=== queueD start $(date +%H:%M:%S) ==="
+
+echo "=== D0: mip_NeRF standalone (density-scale fix) $(date +%H:%M:%S) ==="
+Q_SIZE=256 Q_STEPS=30000 Q_OUT=runs/quality_mip_standalone \
+  timeout 3300 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone2.log 2>&1
+echo "mipstandalone2 exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_mip_standalone --name quality_mip_standalone || true
+tail -5 /tmp/q_mipstandalone2.log
 
 echo "=== D1: SARF 100k freeze recipe $(date +%H:%M:%S) ==="
 FREEZE_DURING_ANNEAL=1 ANNEAL_START=0.80 ANNEAL_END=0.97 \
