@@ -229,3 +229,36 @@ class TestGarfSystem:
         out2 = garf_system.forward(state.params, cfg, None,
                                    batch["origs_raw"], batch["dirs_raw"], stratified=False)
         np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+def test_mip_nerf_density_scale_parity():
+    """run_mip_nerf must carry the reference's own magic: MAGIC_NUMBER=7 ->
+    density scale 21 (`mip_NeRF/model_interpolation.py:8,216`), unlike the
+    barf family's net-1.0. Without it the 4x256 net never escapes the
+    empty-density basin at near/far 1/10-1/3 (stays ~10 dB indefinitely —
+    round-4 C3 incident). Also: a non-default scale must route around the
+    mega-kernels, which bake the default."""
+    import numpy as np
+
+    from nerf_experiments_tpu.ops import render
+
+    cfg21 = barf_sys.BarfConfig(
+        radiance=_tiny_mlp_cfg(), n_training_images=2, density_scale=21.0)
+    assert not barf_sys.can_fuse_train_step(cfg21)
+
+    dens = jnp.asarray([[1.0, 2.0, 0.5]])
+    dists = jnp.asarray([[0.01, 0.01, 0.01]])
+    w21, _, _ = render.render_weights(dens, dists, 21.0)
+    # reference semantics: blocking_neg = -sigma*delta*3*MAGIC(=7)
+    b = -np.asarray(dens) * np.asarray(dists) * 21.0
+    T = np.exp(np.concatenate([np.zeros((1, 1)), np.cumsum(b, -1)[:, :-1]], -1))
+    np.testing.assert_allclose(np.asarray(w21), T * (1 - np.exp(b)),
+                               rtol=1e-5, atol=1e-7)
+
+    from nerf_experiments_tpu.experiments import run_mip_nerf
+
+    # entry-level pin (no dataset load: parse-time default only)
+    src_cfg = run_mip_nerf.build.__doc__ or ""
+    import inspect
+
+    assert "density_scale=21.0" in inspect.getsource(run_mip_nerf.build)
