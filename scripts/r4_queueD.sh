@@ -14,6 +14,17 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueD start $(date +%H:%M:%S) ==="
 
+echo "=== Dpre: Pallas hash hybrid e2e compile+bench check $(date +%H:%M:%S) ==="
+timeout 1200 python -u -c "
+import os, jax.numpy as jnp, bench
+os.environ['NETPU_PALLAS_HASH']='1'
+r = bench.bench_ingp(4096, 10, jnp.bfloat16, samples=64, n_levels=4,
+                     n_features=8, table_size=8192, encoder='matmul')
+print('hybrid e2e:', r)
+" > /tmp/q_hybride2e.log 2>&1
+echo "hybride2e exit=$? $(date +%H:%M:%S)"
+grep -a "hybrid e2e" /tmp/q_hybride2e.log | head -c 300
+
 echo "=== D0: mip_NeRF standalone (density-scale fix) $(date +%H:%M:%S) ==="
 Q_SIZE=256 Q_STEPS=30000 Q_OUT=runs/quality_mip_standalone \
   timeout 3300 python -u scripts/quality_mip_standalone.py > /tmp/q_mipstandalone2.log 2>&1
