@@ -14,6 +14,22 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueD start $(date +%H:%M:%S) ==="
 
+if [ -d runs/quality_mip_200k/ckpt ] && [ ! -d runs/quality_mip_200k/novel_views ]; then
+  echo "=== Dpre0: mip-200k render salvage (C1 cut before renders) $(date +%H:%M:%S) ==="
+  timeout 1500 python -u -m nerf_experiments_tpu.experiments.render_views \
+    --entry bip \
+    --ckpt_dir "$(pwd)/runs/quality_mip_200k/ckpt" \
+    --scene_path /tmp/netpu_quality_scene_256 --image_size 256 \
+    --batch_size 4096 \
+    --camera_origin_noise_sigma 0.15 --camera_rotation_noise_sigma 0.15 \
+    --start_blur_sigma 128 \
+    --bf16 --split test --out_dir runs/quality_mip_200k/novel_views \
+    > /tmp/q_mip200k_salvage.log 2>&1
+  echo "mip200k salvage exit=$? $(date +%H:%M:%S)"
+  python scripts/persist_evidence.py runs/quality_mip_200k --name quality_mip_200k || true
+  grep -a mean_psnr /tmp/q_mip200k_salvage.log | head -c 200
+fi
+
 echo "=== Dpre: Pallas hash hybrid e2e compile+bench check $(date +%H:%M:%S) ==="
 timeout 1200 python -u -c "
 import os, jax.numpy as jnp, bench
