@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--ingp_resolution_max", type=int, default=512)
     p.add_argument("--ingp_encoder", choices=("fused", "matmul"),
                    default="fused")
+    p.add_argument("--ingp_weight_decay", type=float, default=0.0,
+                   help="must match training (the optimizer chain shape "
+                        "is part of the checkpoint)")
     p.add_argument("--split", choices=["train", "val", "test"], default="test")
     p.add_argument("--serve_block", type=int, default=1,
                    help="serving-only block-coarse render: each group of N "
@@ -118,6 +121,7 @@ def _build_ingp(args):
         "--n_features", str(args.ingp_n_features),
         "--table_size", str(args.ingp_table_size),
         "--resolution_max", str(args.ingp_resolution_max),
+        "--weight_decay", str(args.ingp_weight_decay),
         "--encoder", args.ingp_encoder,
         "--hidden_dim", str(args.hidden_dim), "--n_hidden", str(args.n_hidden),
         "--checkpoint_every_n_epochs", "0",

@@ -77,6 +77,7 @@ def _render(ckpt_step, tag):
         "--ingp_n_levels", str(LEVELS), "--ingp_n_features", str(FEATURES),
         "--ingp_table_size", str(TABLE), "--ingp_encoder", ENCODER,
         "--ingp_resolution_max", str(RES_MAX),
+        "--ingp_weight_decay", str(WD),
         "--bf16",
         "--split", "test", "--out_dir", os.path.join(OUT, f"novel_views{tag}"),
     ] + (["--ckpt_step", str(ckpt_step)] if ckpt_step else []))
