@@ -71,3 +71,18 @@ def test_pallas_level_fns_match_xla_level_fns(pallas_hash_env):
     dt_ref = jnp.zeros((1024, F)).at[idx].add(contrib)
     np.testing.assert_allclose(np.asarray(dt_pl), np.asarray(dt_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_level_fns_f8_width_tiled(pallas_hash_env):
+    """F=8 exercises the width-tiled M1 path (n_lo*F = 1024 > the 256-lane
+    chunk): 4 width chunks must still reproduce the exact gather."""
+    from nerf_experiments_tpu.ops import hashgrid_pallas
+
+    t_eff, n_hi, n_lo, F = 8192, 64, 128, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    table_l = jax.random.normal(k1, (t_eff, F))
+    idx = jax.random.randint(k2, (3000,), 0, t_eff)
+    feats = hashgrid_pallas.level_matmul_fwd_pallas(
+        table_l, idx, t_eff, n_hi, n_lo, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(table_l[idx]),
+                               atol=1e-6, rtol=1e-6)
