@@ -73,19 +73,32 @@ def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
     # loses to per-step overhead (measured 37.9k vs XLA 64.6k end-to-end)
     width = n_lo * n_feat
     w_chunk = min(width, _FWD_W)
+    n_chunks = width // w_chunk
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
     sel = lo * n_feat  # (TILE_R, 1) target column base
-    cols = [None] * n_feat
-    for w0 in range(0, width, w_chunk):
-        m1 = jnp.dot(a, tbl_ref[:, w0:w0 + w_chunk],
+    rows = a.shape[0]
+
+    def chunk_body(c, acc):
+        # sequential chunks (fori_loop) keep ONE chunk's intermediates
+        # live — a python-unrolled chunk x feature loop keeps ~all of
+        # them live and blows the 16 MB scoped-VMEM limit (measured
+        # 38 MB at F=8)
+        w0 = c * w_chunk
+        m1 = jnp.dot(a, tbl_ref[:, pl.ds(w0, w_chunk)],
                      preferred_element_type=jnp.float32)
-        for f in range(n_feat):
-            part = jnp.sum(
-                jnp.where(lane + w0 == sel + f, m1, 0.0),
-                axis=1, keepdims=True)
-            cols[f] = part if cols[f] is None else cols[f] + part
-    cols += [jnp.zeros_like(cols[0])] * (_F_PAD - n_feat)
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+        # delta = global lane - per-row selection base: the F selected
+        # columns are CONTIGUOUS (sel..sel+F-1), so one masked copy per
+        # feature offset via a single delta tensor
+        delta = lane + w0 - sel                       # (TILE_R, w_chunk)
+        parts = [
+            jnp.sum(jnp.where(delta == f, m1, 0.0), axis=1, keepdims=True)
+            for f in range(n_feat)
+        ]
+        parts += [jnp.zeros((rows, 1), jnp.float32)] * (_F_PAD - n_feat)
+        return acc + jnp.concatenate(parts, axis=1)
+
+    acc0 = jnp.zeros((rows, _F_PAD), jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk_body, acc0)
 
 
 def _dtable_kernel(ids_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
