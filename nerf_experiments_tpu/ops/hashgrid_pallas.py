@@ -58,7 +58,8 @@ def _default_interpret() -> bool:
         return True
 
 
-_FWD_W = 256  # M1 width chunk: TILE_R x _FWD_W fp32 = 2 MB at TILE_R=2048
+_FWD_W = 128  # M1 width chunk: 1 MB fp32 at TILE_R=2048 (256 left the
+# kernel 2.6 MB over the 16 MB scoped-VMEM limit with its loop carries)
 
 
 def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
