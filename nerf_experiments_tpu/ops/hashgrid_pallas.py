@@ -144,8 +144,10 @@ def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
     if interpret is None:
         interpret = _default_interpret()
     T, F = table_l.shape
-    tile_r = 2048  # fixed: the kernel width-tiles M1, so F no longer
-    # shrinks the row tile (see _fwd_kernel)
+    tile_r = 1024  # the kernel width-tiles M1, so F doesn't shrink the
+    # row tile; 1024 rows keeps the scoped-VMEM footprint ~8.5 MB (2048
+    # measured 16.79M vs the 16M limit — Mosaic keeps the per-feature
+    # select intermediates live despite the sequential fori chunks)
     tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
         table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
     R = idx.shape[0]
