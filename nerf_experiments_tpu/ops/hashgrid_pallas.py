@@ -58,8 +58,8 @@ def _default_interpret() -> bool:
         return True
 
 
-_FWD_W = 128  # M1 width chunk: 1 MB fp32 at TILE_R=2048 (256 left the
-# kernel 2.6 MB over the 16 MB scoped-VMEM limit with its loop carries)
+_FWD_W = 256  # M1 width chunk (bf16 M1 + bf16 masked selects keep the
+# footprint ~10 MB at 2048 rows — see the VMEM ladder note in _fwd_kernel)
 
 
 def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
@@ -74,32 +74,31 @@ def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
     # loses to per-step overhead (measured 37.9k vs XLA 64.6k end-to-end)
     width = n_lo * n_feat
     w_chunk = min(width, _FWD_W)
-    n_chunks = width // w_chunk
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
     sel = lo * n_feat  # (TILE_R, 1) target column base
     rows = a.shape[0]
 
-    def chunk_body(c, acc):
-        # sequential chunks (fori_loop) keep ONE chunk's intermediates
-        # live — a python-unrolled chunk x feature loop keeps ~all of
-        # them live and blows the 16 MB scoped-VMEM limit (measured
-        # 38 MB at F=8)
-        w0 = c * w_chunk
-        m1 = jnp.dot(a, tbl_ref[:, pl.ds(w0, w_chunk)],
-                     preferred_element_type=jnp.float32)
-        # delta = global lane - per-row selection base: the F selected
-        # columns are CONTIGUOUS (sel..sel+F-1), so one masked copy per
-        # feature offset via a single delta tensor
+    # unrolled width chunks with a bf16 M1 (halves the dominant
+    # intermediate; the select accumulates in f32, and the table values
+    # were already cast to compute_dtype, so no extra precision is lost);
+    # VMEM ladder measured at F=8/T=8192: f32 M1 full width 38 MB (OOM),
+    # f32 256-chunks 18.6 MB (OOM), fori-serialized 16.8 MB (OOM at 2048
+    # rows) / compiles at 1024 rows but 19.4k rays/s (sequential chunks
+    # kill pipelining) — bf16 chunks + unroll is the fit-and-fast point.
+    acc = jnp.zeros((rows, _F_PAD), jnp.float32)
+    for w0 in range(0, width, w_chunk):
+        m1 = jnp.dot(a, tbl_ref[:, w0:w0 + w_chunk],
+                     preferred_element_type=compute_dtype)
         delta = lane + w0 - sel                       # (TILE_R, w_chunk)
+        zero = jnp.zeros((), m1.dtype)
         parts = [
-            jnp.sum(jnp.where(delta == f, m1, 0.0), axis=1, keepdims=True)
+            jnp.sum(jnp.where(delta == f, m1, zero),
+                    axis=1, keepdims=True, dtype=jnp.float32)
             for f in range(n_feat)
         ]
         parts += [jnp.zeros((rows, 1), jnp.float32)] * (_F_PAD - n_feat)
-        return acc + jnp.concatenate(parts, axis=1)
-
-    acc0 = jnp.zeros((rows, _F_PAD), jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk_body, acc0)
+        acc = acc + jnp.concatenate(parts, axis=1)
+    out_ref[:] = acc
 
 
 def _dtable_kernel(ids_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
@@ -144,10 +143,8 @@ def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
     if interpret is None:
         interpret = _default_interpret()
     T, F = table_l.shape
-    tile_r = 1024  # the kernel width-tiles M1, so F doesn't shrink the
-    # row tile; 1024 rows keeps the scoped-VMEM footprint ~8.5 MB (2048
-    # measured 16.79M vs the 16M limit — Mosaic keeps the per-feature
-    # select intermediates live despite the sequential fori chunks)
+    tile_r = 2048  # the kernel width-tiles M1 in compute dtype, so F
+    # doesn't shrink the row tile (see the VMEM ladder in _fwd_kernel)
     tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
         table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
     R = idx.shape[0]
