@@ -88,7 +88,7 @@ def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
     acc = jnp.zeros((rows, _F_PAD), jnp.float32)
     for w0 in range(0, width, w_chunk):
         m1 = jnp.dot(a, tbl_ref[:, w0:w0 + w_chunk],
-                     preferred_element_type=compute_dtype)
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
         delta = lane + w0 - sel                       # (TILE_R, w_chunk)
         zero = jnp.zeros((), m1.dtype)
         parts = [
