@@ -58,47 +58,30 @@ def _default_interpret() -> bool:
         return True
 
 
-_FWD_W = 256  # M1 width chunk (bf16 M1 + bf16 masked selects keep the
-# footprint ~10 MB at 2048 rows — see the VMEM ladder note in _fwd_kernel)
-
-
 def _fwd_kernel(ids_ref, tbl_ref, out_ref, *, n_hi, n_lo, n_feat,
                 compute_dtype):
     hi = ids_ref[:, 0:1]                             # (TILE_R, 1) int32
     lo = ids_ref[:, 1:2]                             # (TILE_R, 1) int32
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
     a = (hi == iota_hi).astype(compute_dtype)        # (TILE_R, n_hi)
-    # tile the n_lo*F WIDTH of M1 instead of shrinking the row tile: at
-    # F=8 a full-width fp32 M1 would be 8 MB (Mosaic VMEM overflow at
-    # 2048 rows), and shrinking rows to fit (512) quadruples the grid and
-    # loses to per-step overhead (measured 37.9k vs XLA 64.6k end-to-end)
-    width = n_lo * n_feat
-    w_chunk = min(width, _FWD_W)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
-    sel = lo * n_feat  # (TILE_R, 1) target column base
-    rows = a.shape[0]
-
-    # unrolled width chunks with a bf16 M1 (halves the dominant
-    # intermediate; the select accumulates in f32, and the table values
-    # were already cast to compute_dtype, so no extra precision is lost);
-    # VMEM ladder measured at F=8/T=8192: f32 M1 full width 38 MB (OOM),
-    # f32 256-chunks 18.6 MB (OOM), fori-serialized 16.8 MB (OOM at 2048
-    # rows) / compiles at 1024 rows but 19.4k rays/s (sequential chunks
-    # kill pipelining) — bf16 chunks + unroll is the fit-and-fast point.
-    acc = jnp.zeros((rows, _F_PAD), jnp.float32)
-    for w0 in range(0, width, w_chunk):
-        m1 = jnp.dot(a, tbl_ref[:, w0:w0 + w_chunk],
-                     preferred_element_type=jnp.float32).astype(compute_dtype)
-        delta = lane + w0 - sel                       # (TILE_R, w_chunk)
-        zero = jnp.zeros((), m1.dtype)
-        parts = [
-            jnp.sum(jnp.where(delta == f, m1, zero),
-                    axis=1, keepdims=True, dtype=jnp.float32)
-            for f in range(n_feat)
-        ]
-        parts += [jnp.zeros((rows, 1), jnp.float32)] * (_F_PAD - n_feat)
-        acc = acc + jnp.concatenate(parts, axis=1)
-    out_ref[:] = acc
+    m1 = jnp.dot(a, tbl_ref[:], preferred_element_type=jnp.float32)
+    # (TILE_R, n_lo * n_feat); select column lo*F + f per feature.
+    # NOTE width-tiling M1 (to keep 2048-row tiles at F=8) was tried and
+    # rejected on this compiler: unrolled chunks keep every chunk's f32
+    # intermediate live (33-38 MB scoped VMEM vs the 16 MB limit), a
+    # fori_loop serializes and runs 19.4k rays/s e2e (vs 37.9k for this
+    # shape), and bf16 matmul accumulation is rejected ("Expected matmul
+    # acc to be 32-bit"). The VMEM-budgeted ROW tile (_tile_rows) is the
+    # best compiling point; at F=2 it keeps 2048-row tiles and wins
+    # 1.6-4.0x over the XLA lowering (RESULTS.md).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_lo * n_feat), 1)
+    cols = [
+        jnp.sum(jnp.where(lane == lo * n_feat + f, m1, 0.0),
+                axis=1, keepdims=True)
+        for f in range(n_feat)
+    ]
+    cols += [jnp.zeros_like(cols[0])] * (_F_PAD - n_feat)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def _dtable_kernel(ids_ref, c_ref, out_ref, *, n_hi, n_lo, n_feat,
@@ -143,8 +126,7 @@ def level_matmul_fwd_pallas(table_l, idx, t_eff, n_hi, n_lo,
     if interpret is None:
         interpret = _default_interpret()
     T, F = table_l.shape
-    tile_r = 2048  # the kernel width-tiles M1 in compute dtype, so F
-    # doesn't shrink the row tile (see the VMEM ladder in _fwd_kernel)
+    tile_r = _tile_rows(n_lo, F)
     tbl = jnp.zeros((n_hi * n_lo, F), compute_dtype).at[:t_eff].set(
         table_l[:t_eff].astype(compute_dtype)).reshape(n_hi, n_lo * F)
     R = idx.shape[0]
