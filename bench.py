@@ -339,7 +339,15 @@ def bench_serving(steps, compute_dtype):
                            "serving_quality.json")
     try:
         with open(sq_path) as f:
-            out["quality_psnr"] = json.load(f)["serving_quality_psnr"]
+            sq = json.load(f)
+        out["quality_psnr"] = sq["serving_quality_psnr"]
+        # provenance: the PSNR column comes from a committed study run at a
+        # fixed protocol — record it so a stale file is visible, and drop the
+        # column outright if the study protocol no longer matches
+        out["quality_psnr_protocol"] = {"steps": sq.get("steps"),
+                                        "size": sq.get("size")}
+        if sq.get("steps") != 12000 or sq.get("size") != 160:
+            out.pop("quality_psnr")
     except (OSError, KeyError, ValueError):
         pass
     return out

@@ -43,6 +43,13 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+# mip_NeRF's own magic: MAGIC_NUMBER=7 -> density scale 3*7=21
+# (`mip_NeRF/model_interpolation.py:8,216`) — required at the near/far
+# 1/10–1/3 scale (see BarfConfig.density_scale). Pinned by
+# tests/test_systems.py::test_mip_nerf_density_scale_parity.
+MIP_DENSITY_SCALE = 21.0
+
+
 def build(args) -> common.BarfExperiment:
     scene = common.resolve_scene(args.scene_path, args.image_size)
     # auto space transform (mean-centered, 3x max pairwise distance) — this is
@@ -86,10 +93,7 @@ def build(args) -> common.BarfExperiment:
         ),
         share_proposal_net=not args.use_seperate_coarse_fine,
         coarse_loss_weight=0.1,
-        # mip_NeRF's own magic: MAGIC_NUMBER=7 -> density scale 21
-        # (`mip_NeRF/model_interpolation.py:8,216`) — required at the
-        # near/far 1/10–1/3 scale (see BarfConfig.density_scale)
-        density_scale=21.0,
+        density_scale=MIP_DENSITY_SCALE,
         uniform_sampling_strategy="stratified_uniform",
         optimize_camera=False,
         gaussian_blur_sigmas=(0.0,),

@@ -252,8 +252,8 @@ def _use_pallas_hash() -> bool:
 
 
 def _level_matmul_fwd(table_l, idx, w, t_eff, chunk, compute_dtype):
-    """table_l (T, F), idx/w (R,) flat rows -> (out_sum (R, F) fp32,
-    feats_c (R, F) compute_dtype saved for dw)."""
+    """table_l (T, F), idx/w (R,) flat rows -> feats (R, F) compute_dtype
+    (the gathered rows; the caller applies the interpolation weight)."""
     T, F = table_l.shape
     n_hi, n_lo = _matmul_factors(t_eff)
     if _use_pallas_hash():

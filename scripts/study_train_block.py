@@ -10,7 +10,9 @@ prop 64 + S=32, fused bf16 batch 8192, 12k steps — the time-to-30dB
 protocol whose blk1 reference point is 29.95 dB test PSNR, RESULTS.md),
 plus the measured train rays/s for each block size.
 
-Env: S_BLOCKS ("1,4,8"), Q_SIZE (160), Q_STEPS (12000).
+Env: S_BLOCKS ("1,4,8"), Q_SIZE (160), Q_STEPS (12000), Q_BATCH (8192 —
+round-5 batch-promotion arm runs Q_BATCH=32768 Q_STEPS=3000, equal rays
+and ~equal wall vs the canonical blk4 12k x 8192 = 29.17 dB row).
 Prints one JSON line per block size.
 """
 import json
@@ -26,6 +28,7 @@ from nerf_experiments_tpu.data import synthetic
 SIZE = int(os.environ.get("Q_SIZE", 160))
 STEPS = int(os.environ.get("Q_STEPS", 12000))
 BLOCKS = [int(b) for b in os.environ.get("S_BLOCKS", "1,4,8").split(",")]
+BATCH = int(os.environ.get("Q_BATCH", 8192))
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_blk_scene_{SIZE}")
 OUT_BASE = os.environ.get("Q_OUT", "runs/train_block")
 
@@ -43,7 +46,7 @@ for blk in BLOCKS:
     run_barf.main([
         "--fused_kernel",
         "--scene_path", SCENE, "--image_size", str(SIZE),
-        "--batch_size", "8192", "--max_steps", str(STEPS),
+        "--batch_size", str(BATCH), "--max_steps", str(STEPS),
         "--samples_per_ray", "32", "--samples_per_ray_proposal", "64",
         "--train_coarse_block", str(blk),
         "--camera_origin_noise_sigma", "0.0",
@@ -76,13 +79,14 @@ for blk in BLOCKS:
     ])
     results[f"blk{blk}"] = {
         "test_psnr": round(s["mean_psnr"], 2),
-        "train_rays_per_sec": (round(8192 * steps_logged / post, 1)
+        "train_rays_per_sec": (round(BATCH * steps_logged / post, 1)
                                if post else None),
         "wall_s_total": round(wall, 1),
     }
     print(json.dumps({f"blk{blk}": results[f"blk{blk}"]}), flush=True)
 
-summary = {"train_block_study": results, "steps": STEPS, "size": SIZE}
+summary = {"train_block_study": results, "steps": STEPS, "size": SIZE,
+           "batch": BATCH}
 print(json.dumps(summary))
 # persist for bench.py's headline gate (blk4 may only take the headline
 # with its quality delta recorded — VERDICT r3 #2); auxiliary runs (e.g.

@@ -73,9 +73,11 @@ def test_pallas_level_fns_match_xla_level_fns(pallas_hash_env):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_pallas_level_fns_f8_width_tiled(pallas_hash_env):
-    """F=8 exercises the width-tiled M1 path (n_lo*F = 1024 > the 256-lane
-    chunk): 4 width chunks must still reproduce the exact gather."""
+def test_pallas_level_fns_f8(pallas_hash_env):
+    """F=8 exercises the wide n_lo*F=1024 single-matmul shape with the
+    VMEM-budgeted (256-row) tile — the config where row tiles shrink to
+    fit the fp32 M1 intermediate (width-tiling was measured a dead end
+    on this Mosaic version; see ops/hashgrid_pallas._fwd_kernel)."""
     from nerf_experiments_tpu.ops import hashgrid_pallas
 
     t_eff, n_hi, n_lo, F = 8192, 64, 128, 8
