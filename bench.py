@@ -457,6 +457,15 @@ def main():
                 compute_dtype, n_levels=4, n_features=8,
                 table_size=int(os.environ.get("BENCH_INGP_MM_TABLE", 8192)),
                 encoder="matmul")),
+            # additive-hash pre-rolled table: ONE wide-row gather per point
+            # per level (hashgrid.encode_rolled) — the r5 TPU-native fast
+            # path, at the quality config's table size (T=16384, RESULTS.md)
+            ("ingp_rolled", lambda: bench_ingp(
+                int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                compute_dtype, n_levels=4, n_features=8,
+                table_size=int(os.environ.get("BENCH_INGP_ROLLED_TABLE",
+                                              16384)),
+                encoder="rolled")),
             # hybrid Pallas table access: VMEM one-hot forward + XLA
             # transpose (scripts/probe_hash_pallas.py measurements)
             ("ingp_matmul_pallas", lambda: _with_env(

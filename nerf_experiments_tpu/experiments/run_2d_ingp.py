@@ -32,7 +32,7 @@ def parse_args(argv=None):
     p.add_argument("--n_hidden", type=int, default=2)
     p.add_argument("--hidden_dim", type=int, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-3)
-    p.add_argument("--encoder", choices=("fused", "matmul"), default="fused")
+    p.add_argument("--encoder", choices=("fused", "matmul", "rolled"), default="fused")
     p.add_argument("--batch_size", type=int, default=8192)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)

@@ -66,7 +66,7 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0,
                    help="L2 decay on the hash-NeRF group (INGP paper uses "
                         "1e-6) — overfit mitigation for small view counts")
-    p.add_argument("--encoder", choices=("fused", "matmul"), default="fused",
+    p.add_argument("--encoder", choices=("fused", "matmul", "rolled"), default="fused",
                    help="table access: flattened gather (fused) or the "
                         "gather-free factorized one-hot MXU path (matmul)")
     p.add_argument("--near", type=float, default=2.0)

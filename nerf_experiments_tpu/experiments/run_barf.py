@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--occ_grid_update_every", type=int, default=16)
     p.add_argument("--occ_grid_aabb_half", type=float, default=2.0)
     p.add_argument("--lr_decay_end_step", type=int, default=200_000)
+    # net LR start (reference default 5e-4, `barf/run_barf.py:48`); exposed
+    # for large-batch LR-scaling studies (stop stays start/50)
+    p.add_argument("--learning_rate", type=float, default=5e-4)
     # camera-group optimizer knobs (defaults = the reference's recipe,
     # `barf/run_barf.py:44-59`). --camera_adam_eps is the recipe that fixed
     # GARF joint calibration (RESULTS.md): a large eps makes small camera
@@ -129,7 +132,8 @@ def build(args) -> common.BarfExperiment:
         n_hidden=args.n_hidden, hidden_dim=args.hidden_dim,
         delayed_direction=args.delayed_direction,
         delayed_density=args.delayed_density, n_segments=args.n_segments,
-        learning_rate_start=5e-4, learning_rate_stop=1e-5,
+        learning_rate_start=args.learning_rate,
+        learning_rate_stop=args.learning_rate / 50,
         learning_rate_decay_end=args.lr_decay_end_step,
         compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
     )
@@ -143,7 +147,8 @@ def build(args) -> common.BarfExperiment:
             hidden_dim=args.proposal_hidden_dim,
             delayed_direction=args.delayed_direction,
             delayed_density=args.delayed_density, n_segments=1,
-            learning_rate_start=5e-4, learning_rate_stop=1e-5,
+            learning_rate_start=args.learning_rate,
+            learning_rate_stop=args.learning_rate / 50,
             learning_rate_decay_end=args.lr_decay_end_step,
             compute_dtype=jax.numpy.bfloat16 if args.bf16 else None,
         )

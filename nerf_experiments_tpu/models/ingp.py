@@ -21,12 +21,17 @@ from nerf_experiments_tpu.ops import hashgrid
 
 def _encode(params, grid_cfg, x, compute_dtype, encoder: str):
     """Table-access path switch: 'fused' = flattened bf16 gather with
-    sorted-segment-sum backward (hashgrid.encode_fused); 'matmul' = gather-
-    free factorized one-hot MXU path (hashgrid.encode_matmul) — wins when
-    the table is small enough that 2*R*T_eff*F FLOPs beat the per-row
-    transaction pace of XLA's dynamic gather (see RESULTS.md INGP study)."""
+    scatter-add backward (hashgrid.encode_fused); 'matmul' = gather-free
+    factorized one-hot MXU path (hashgrid.encode_matmul) — wins when the
+    table is small enough that 2*R*T_eff*F FLOPs beat the per-row
+    transaction pace of XLA's dynamic gather; 'rolled' = additive-hash
+    pre-rolled table with ONE wide-row gather per point per level
+    (hashgrid.encode_rolled) — the TPU-native fast path (RESULTS.md r5)."""
     if encoder == "matmul":
         return hashgrid.encode_matmul(params, grid_cfg, x,
+                                      compute_dtype or jnp.float32)
+    if encoder == "rolled":
+        return hashgrid.encode_rolled(params, grid_cfg, x,
                                       compute_dtype or jnp.float32)
     return hashgrid.encode_fused(params, grid_cfg, x, compute_dtype)
 
@@ -37,7 +42,7 @@ class GigapixelConfig:
     n_hidden: int = 2
     hidden_dim: int = 64
     compute_dtype: Any = None
-    encoder: str = "fused"  # "fused" | "matmul"
+    encoder: str = "fused"  # "fused" | "matmul" | "rolled"
 
 
 def gigapixel_init(key: jax.Array, cfg: GigapixelConfig) -> Dict:
@@ -73,7 +78,7 @@ class NerfINGPConfig:
     hidden_dim: int = 64
     pos_normalization_scale: float = 8.0  # x/8 + 0.5 (`3d-ingp/model.py:117`)
     compute_dtype: Any = None
-    encoder: str = "fused"  # "fused" | "matmul"
+    encoder: str = "fused"  # "fused" | "matmul" | "rolled"
 
 
 def nerf_ingp_init(key: jax.Array, cfg: NerfINGPConfig) -> Dict:

@@ -370,6 +370,132 @@ def _matmul_interp_bwd(t_effs, table_rows, chunk, compute_dtype, res, g):
 _matmul_interp.defvjp(_matmul_interp_fwd, _matmul_interp_bwd)
 
 
+# ----------------------------------------------------------------- rolled
+# Encode via ONE wide gather per point per level — the TPU-native fast path.
+#
+# The xor spatial hash makes every corner's table row independent, so the
+# gather/matmul paths above pay for 2^d separate NARROW row accesses per
+# point per level (8.4M 4-16 B rows at the 3-D bench workload — exactly the
+# access pattern TPU gathers are worst at: cost is per-row transactions).
+# Replacing the xor mix with an ADDITIVE hash (Σ x_i·p_i mod T, same primes;
+# T is a power of two so uint32 wraparound is exactly compatible with the
+# mod) makes the 2^d corner indices (base + δ_c) mod T with FIXED per-level
+# offsets δ_c = Σ c_i·p_i mod T. Pre-rolling the level table by each δ_c and
+# concatenating along features gives tblcat (T, 2^d·F) where one row holds
+# ALL corner features for a point: the encode becomes a single gather of a
+# wide (2^d·F = 64-byte bf16 at F=8, d=3) row per point per level — 8x fewer
+# transactions, each wide enough to run at HBM bandwidth. Bijective levels
+# are ALREADY additive (strided sums, `2d-ingp/model.py:22-31`), so their
+# indices — and hence their output — are bit-identical to `encode`; only
+# hashed levels change hash family (quality revalidated: see RESULTS.md).
+# Backward: dtblcat via sorted-segment-sum over point rows; dtable flows
+# through the rolls (XLA autodiff of jnp.roll = inverse roll, cheap).
+# Semantics source: `3d-ingp/model.py:58-121`, `2d-ingp/model.py:13-115`.
+def _rolled_level_base_and_deltas(cfg: HashGridConfig, resolution: int,
+                                  x_floor: jnp.ndarray):
+    """x_floor (B, d) int32 -> (base (B,) int32 rows into the level's t_eff
+    rows, deltas (2^d,) static ints). Additive index: corner idx =
+    (base + delta_c) mod t_eff (hashed) / + delta_c exactly (bijective)."""
+    # corner bit c_i for corner c, in _corner_offsets' (dim-1 .. 0) bit order
+    # — pure Python (deltas must be static under jit)
+    def bit(c, i):
+        return (c >> (cfg.dim - 1 - i)) & 1
+
+    if cfg.bijective(resolution):
+        strides = [(resolution + 1) ** i for i in range(cfg.dim)]
+        base = sum(x_floor[:, i] * strides[i] for i in range(cfg.dim))
+        deltas = [sum(bit(c, i) * strides[i] for i in range(cfg.dim))
+                  for c in range(2 ** cfg.dim)]
+        return base.astype(jnp.int32), deltas
+    T = cfg.table_size  # power of two: uint32 wrap == mod-T compatible
+    acc = x_floor[:, 0].astype(jnp.uint32) * jnp.uint32(cfg.primes[0])
+    for i in range(1, cfg.dim):
+        acc = acc + x_floor[:, i].astype(jnp.uint32) * jnp.uint32(cfg.primes[i])
+    base = (acc % jnp.uint32(T)).astype(jnp.int32)
+    deltas = [sum(bit(c, i) * cfg.primes[i] for i in range(cfg.dim)) % T
+              for c in range(2 ** cfg.dim)]
+    return base, deltas
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rolled_gather(tbl2d, idx, compute_dtype, sorted_bwd=True):
+    """tbl2d (M, W) -> rows (N, W) at compute_dtype; backward is a
+    sorted-segment-sum scatter (fp32) instead of XLA's serializing
+    collision scatter-add."""
+    t = tbl2d if compute_dtype is None else tbl2d.astype(compute_dtype)
+    return t[idx]
+
+
+def _rolled_gather_fwd(tbl2d, idx, compute_dtype, sorted_bwd):
+    return _rolled_gather(tbl2d, idx, compute_dtype, sorted_bwd), (tbl2d, idx)
+
+
+def _rolled_gather_bwd(compute_dtype, sorted_bwd, res, g):
+    tbl2d, idx = res
+    M = tbl2d.shape[0]
+    g = g.astype(jnp.float32)
+    if sorted_bwd:
+        # sort rows by destination: the permutation gather moves WIDE rows
+        # (bandwidth-bound, fast) and the segment sum then sees sorted ids
+        order = jnp.argsort(idx)
+        dt = jax.ops.segment_sum(g[order], idx[order], num_segments=M,
+                                 indices_are_sorted=True)
+    else:
+        dt = jnp.zeros((M, g.shape[1]), jnp.float32).at[idx].add(g)
+    return dt.astype(tbl2d.dtype), None
+
+
+_rolled_gather.defvjp(_rolled_gather_fwd, _rolled_gather_bwd)
+
+
+def encode_rolled(
+    params: Dict,
+    cfg: HashGridConfig,
+    x: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """`encode` semantics with an additive hash and one wide-row gather per
+    point per level (see the design note above). Bit-identical to `encode`
+    on bijective levels; hashed levels use the additive hash family."""
+    table = params["table"]  # (L, T, F)
+    L, T, F = table.shape
+    C = 2 ** cfg.dim
+    if T & (T - 1):
+        raise ValueError(
+            "encode_rolled needs a power-of-two table_size (uint32 index "
+            f"arithmetic is exact only when table_size | 2^32); got {T}")
+    offsets = _corner_offsets(cfg.dim)
+
+    bases, weights, cats = [], [], []
+    for l, res in enumerate(cfg.level_resolutions):
+        xs = x * res
+        xf = jnp.floor(xs)
+        base, deltas = _rolled_level_base_and_deltas(
+            cfg, res, xf.astype(jnp.int32))
+        t_eff = _effective_rows(cfg, res)
+        # interpolation weights vs the (unclipped) corners, as in `encode`
+        corners = xf[:, None, :] + offsets[None, :, :].astype(x.dtype)
+        xd = jnp.abs(xs[:, None, :] - corners)
+        weights.append(jnp.prod(1.0 - xd, axis=-1))  # (B, C)
+        # tblcat_l: row b holds corner features [T[b+d0] | T[b+d1] | ...]
+        live = table[l][:t_eff]
+        cat = jnp.concatenate(
+            [jnp.roll(live, -d, axis=0) for d in deltas], axis=1)  # (t_eff, C*F)
+        if t_eff < T:
+            cat = jnp.pad(cat, ((0, T - t_eff), (0, 0)))
+        cats.append(cat)
+        bases.append(base + l * T)
+
+    tblcat = jnp.concatenate(cats, axis=0)          # (L*T, C*F)
+    idx = jnp.concatenate(bases)                    # (L*B,)
+    rows = _rolled_gather(tblcat, idx, compute_dtype)   # (L*B, C*F)
+    B = x.shape[0]
+    w = jnp.stack(weights)                          # (L, B, C)
+    out = jnp.sum(rows.reshape(L, B, C, F).astype(jnp.float32)
+                  * w[..., None].astype(jnp.float32), axis=2)  # (L, B, F)
+    return jnp.moveaxis(out, 0, 1).reshape(B, L * F)
+
+
 def encode_matmul(
     params: Dict,
     cfg: HashGridConfig,

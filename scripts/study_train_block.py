@@ -29,6 +29,7 @@ SIZE = int(os.environ.get("Q_SIZE", 160))
 STEPS = int(os.environ.get("Q_STEPS", 12000))
 BLOCKS = [int(b) for b in os.environ.get("S_BLOCKS", "1,4,8").split(",")]
 BATCH = int(os.environ.get("Q_BATCH", 8192))
+LR = os.environ.get("Q_LR")  # optional LR override (large-batch scaling arms)
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_blk_scene_{SIZE}")
 OUT_BASE = os.environ.get("Q_OUT", "runs/train_block")
 
@@ -43,7 +44,7 @@ for blk in BLOCKS:
     out = f"{OUT_BASE}_blk{blk}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    run_barf.main([
+    run_barf.main((["--learning_rate", LR] if LR else []) + [
         "--fused_kernel",
         "--scene_path", SCENE, "--image_size", str(SIZE),
         "--batch_size", str(BATCH), "--max_steps", str(STEPS),

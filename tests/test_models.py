@@ -282,3 +282,101 @@ class TestHashGridNumpyParity:
                 w = (1 - np.abs(xs[:, 0] - cx)) * (1 - np.abs(xs[:, 1] - cy))
                 expected += table[idx] * w[:, None]
         np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+class TestEncodeRolled:
+    """encode_rolled: additive-hash, one wide-row gather per point per level
+    (hashgrid.py design note). Bijective levels must be BIT-identical to
+    `encode` (additive strided indexing == the reference bijective formula,
+    `2d-ingp/model.py:22-31`); hashed levels are pinned against a naive
+    per-corner additive-hash implementation, fwd + grads."""
+
+    def _naive_additive(self, params, cfg, x):
+        """Per-corner additive-hash encode (plain indexing, autodiffable) —
+        the semantics oracle for encode_rolled."""
+        outs = []
+        for l, res in enumerate(cfg.level_resolutions):
+            xs = x * res
+            xf = jnp.floor(xs)
+            base, deltas = hashgrid._rolled_level_base_and_deltas(
+                cfg, res, xf.astype(jnp.int32))
+            t_eff = hashgrid._effective_rows(cfg, res)
+            offsets = hashgrid._corner_offsets(cfg.dim)
+            corners = xf[:, None, :] + offsets[None, :, :].astype(x.dtype)
+            w = jnp.prod(1.0 - jnp.abs(xs[:, None, :] - corners), axis=-1)
+            feats = []
+            for c, d in enumerate(deltas):
+                idx = (base + d) % t_eff
+                feats.append(params["table"][l][idx] * w[:, c, None])
+            outs.append(sum(feats))
+        return jnp.concatenate(outs, axis=-1)
+
+    def test_bijective_levels_bit_identical_to_encode(self):
+        for dim in (2, 3):
+            cfg = hashgrid.HashGridConfig(
+                dim=dim, resolution_min=2, resolution_max=6,
+                table_size=512, n_features=2, n_levels=3)
+            assert all(cfg.bijective(r) for r in cfg.level_resolutions)
+            params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+            x = jax.random.uniform(jax.random.PRNGKey(1), (129, dim)) * 0.999
+            a = hashgrid.encode(params, cfg, x)
+            b = hashgrid.encode_rolled(params, cfg, x, compute_dtype=None)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+
+    def test_hashed_levels_match_naive_additive_fwd_and_grad(self):
+        for dim in (2, 3):
+            cfg = hashgrid.HashGridConfig(
+                dim=dim, resolution_min=8, resolution_max=64,
+                table_size=2**7, n_features=2, n_levels=4)
+            assert not all(cfg.bijective(r) for r in cfg.level_resolutions)
+            params = hashgrid.init(jax.random.PRNGKey(2), cfg)
+            x = jax.random.uniform(jax.random.PRNGKey(3), (257, dim)) * 0.999
+            a = self._naive_additive(params, cfg, x)
+            b = hashgrid.encode_rolled(params, cfg, x, compute_dtype=None)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+            ga = jax.grad(lambda p: jnp.sum(
+                self._naive_additive(p, cfg, x) ** 2))(params)
+            gb = jax.grad(lambda p: jnp.sum(
+                hashgrid.encode_rolled(p, cfg, x, compute_dtype=None) ** 2)
+            )(params)
+            np.testing.assert_allclose(np.asarray(ga["table"]),
+                                       np.asarray(gb["table"]), atol=1e-5)
+
+    def test_position_gradients_flow(self):
+        cfg = hashgrid.HashGridConfig(dim=3, resolution_min=4,
+                                      resolution_max=16, table_size=2**6,
+                                      n_features=2, n_levels=2)
+        params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3)) * 0.9
+        gx = jax.grad(lambda xx: jnp.sum(
+            hashgrid.encode_rolled(params, cfg, xx, compute_dtype=None) ** 2)
+        )(x)
+        gx_ref = jax.grad(lambda xx: jnp.sum(
+            self._naive_additive(params, cfg, xx) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   atol=1e-5)
+
+    def test_rejects_non_power_of_two_table(self):
+        cfg = hashgrid.HashGridConfig(dim=2, resolution_min=16,
+                                      resolution_max=16, table_size=100,
+                                      n_features=2, n_levels=1)
+        params = hashgrid.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 2))
+        with pytest.raises(ValueError, match="power-of-two"):
+            hashgrid.encode_rolled(params, cfg, x)
+
+    def test_model_level_encoder_knob(self):
+        grid = hashgrid.HashGridConfig(dim=3, resolution_min=4,
+                                       resolution_max=32, table_size=512,
+                                       n_features=2, n_levels=4)
+        cfg = ingp.NerfINGPConfig(grid=grid, n_hidden=1, hidden_dim=32,
+                                  encoder="rolled")
+        params = ingp.nerf_ingp_init(jax.random.PRNGKey(0), cfg)
+        pos = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        dir = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+        density, rgb = ingp.nerf_ingp_apply(params, cfg, pos, dir)
+        assert density.shape == (16,) and rgb.shape == (16, 3)
+        assert np.isfinite(np.asarray(density)).all()
