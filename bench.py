@@ -194,7 +194,7 @@ def bench_barf(batch_size, samples, steps, compute_dtype, fused=False,
 
 
 def bench_garf(batch_size, steps, compute_dtype, fused=False,
-               activation="gauss"):
+               activation="gauss", coarse_block=1):
     from nerf_experiments_tpu.models import garf as garf_models
     from nerf_experiments_tpu.systems import garf_system
     from __graft_entry__ import _example_batch
@@ -205,6 +205,7 @@ def bench_garf(batch_size, steps, compute_dtype, fused=False,
                                    learning_rate_decay_end=10_000,
                                    activation=activation,
                                    compute_dtype=compute_dtype),
+        train_coarse_block=coarse_block,
     )
     state = garf_system.init(jax.random.PRNGKey(0), cfg)
     tx = garf_system.make_optimizer(cfg, state.params)
@@ -436,6 +437,12 @@ def main():
             ("garf_fused", lambda: bench_garf(
                 int(os.environ.get("BENCH_GARF_FUSED_BATCH", 4096)), steps,
                 compute_dtype, fused=True)),
+            # block-coarse GARF (GarfSystemConfig.train_coarse_block): the
+            # 64-bin estimator runs on every 4th ray — the r4 barf blk4
+            # amortization applied to the GARF family (VERDICT r4 #7)
+            ("garf_fused_blk4", lambda: bench_garf(
+                int(os.environ.get("BENCH_GARF_FUSED_BATCH", 4096)), steps,
+                compute_dtype, fused=True, coarse_block=4)),
             ("ingp", lambda: bench_ingp(
                 int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
                 compute_dtype)),

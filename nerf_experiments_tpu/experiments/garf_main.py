@@ -104,6 +104,11 @@ def parse_args(argv=None):
                    help="run the radiance half of the step through the GARF "
                         "Pallas mega-kernel (ops/garf_megakernel.py; "
                         "gradient-exact, ~1.2x faster on TPU)")
+    p.add_argument("--train_coarse_block", type=int, default=1,
+                   help="share each proposal/estimator stage across this "
+                        "many raster-consecutive rays (fused kernel only; "
+                        "GarfSystemConfig.train_coarse_block + "
+                        "TrainerConfig.batch_block)")
     common.add_common_args(p)
     p.set_defaults(seed=1337, max_epochs=None)
     return p.parse_args(argv)
@@ -204,7 +209,10 @@ def build(args):
         camera_freeze_end_step=epochs_to_steps(
             args.act_anneal_end_epoch if args.camera_freeze_during_anneal
             else args.camera_freeze_end_epoch),
+        train_coarse_block=args.train_coarse_block,
     )
+    if args.train_coarse_block > 1:
+        assert args.fused_kernel, "--train_coarse_block requires --fused_kernel"
 
     state = garf_system.init(jax.random.PRNGKey(args.seed), cfg)
     tx = garf_system.make_optimizer(cfg, state.params)
@@ -269,6 +277,7 @@ def build(args):
         batch_size=safe_batch, seed=args.seed,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
         log_every_n_steps=args.log_every_n_steps,
+        batch_block=args.train_coarse_block,
     )
     # ray-density profile logger (`garf/ray_logger.py` parity): density along
     # the center ray of a named train image, from both networks

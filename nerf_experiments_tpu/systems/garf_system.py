@@ -95,6 +95,14 @@ class GarfSystemConfig:
     # information and was measured to destabilize joint calibration.
     interlevel_camera_grads: bool = True
 
+    # Block-coarse training (the r4 barf finding applied to the GARF family,
+    # VERDICT r4 weak #6): run the 64-bin proposal/estimator stage on every
+    # blk-th ray and broadcast its t bins across blk raster-consecutive rays
+    # — the trace attributed the same coarse/gather overhead here as on the
+    # barf path. Requires batches arriving as aligned blocks
+    # (TrainerConfig.batch_block). 1 = off (reference semantics).
+    train_coarse_block: int = 1
+
     @property
     def prop_cfg(self) -> garf.GarfConfig:
         return self.proposal_net if self.proposal_net is not None else self.net
@@ -336,10 +344,32 @@ def train_step_fused(
 
     (origs, dirs), tvjp = jax.vjp(transform, state.params["camera"])
 
+    # block-coarse: estimator on every blk-th ray, bins broadcast across the
+    # block (see GarfSystemConfig.train_coarse_block); rep-slicing happens
+    # INSIDE the vjp'd function so its VJP scatters rep grads back into
+    # full-size d_origs/d_dirs and the camera chain needs no special casing
+    blk = max(1, cfg.train_coarse_block)
+    n_rays = origs.shape[0]
+    n_rep = n_rays // blk
+    if blk > 1:
+        assert n_rays % blk == 0, (n_rays, blk)
+
+    def _rep(x):
+        return x[::blk] if blk > 1 else x
+
+    def _bcast_bins(t):
+        if blk == 1:
+            return t
+        s = t.shape[1]
+        return jnp.broadcast_to(t[:, None, :], (n_rep, blk, s)).reshape(
+            n_rays, s)
+
     def sample_bins(prop_params, origs_, dirs_):
+        o_r, d_r = _rep(origs_), _rep(dirs_)
+
         def positions(ts, te):
             tm = (ts + te)[..., None] / 2.0
-            return origs_[:, None] + dirs_[:, None] * tm
+            return o_r[:, None] + d_r[:, None] * tm
 
         def prop_sigma_fn(ts, te):
             pos = positions(ts, te).reshape(-1, 3)
@@ -350,7 +380,7 @@ def train_step_fused(
             prop_sigma_fns=[prop_sigma_fn],
             prop_samples=[cfg.proposal_samples_per_ray],
             num_samples=cfg.radiance_samples_per_ray,
-            n_rays=origs_.shape[0],
+            n_rays=n_rep,
             near_plane=cfg.near,
             far_plane=cfg.far,
             sampling_type="lindisp",
@@ -368,11 +398,17 @@ def train_step_fused(
     targets = batch["colors"][:, -1]
     rgb, weights, grads_rad, d_origs, d_dirs = garf_radiance_train_grads(
         state.params["radiance"], cfg.net, origs, dirs,
-        jax.lax.stop_gradient(t_starts), jax.lax.stop_gradient(t_ends),
+        jax.lax.stop_gradient(_bcast_bins(t_starts)),
+        jax.lax.stop_gradient(_bcast_bins(t_ends)),
         targets, act_anneal=act_anneal)
 
+    # interlevel loss matches the proposal histogram to the block's MEAN
+    # fine-weight distribution (all rays in a block share the bin edges;
+    # with duplicate rays this reduces to the unblocked loss exactly)
+    weights_rep = (weights if blk == 1
+                   else weights.reshape(n_rep, blk, -1).mean(axis=1))
     ploss, d_aux = jax.value_and_grad(
-        lambda a: proposal.compute_loss(a, weights))(aux)
+        lambda a: proposal.compute_loss(a, weights_rep))(aux)
     g_prop, g_origs_il, g_dirs_il = sample_vjp(
         (jnp.zeros_like(t_starts), jnp.zeros_like(t_ends), d_aux))
     if not cfg.interlevel_camera_grads:

@@ -221,3 +221,49 @@ def test_system_forward_fused_dispatch_matches():
     np.testing.assert_allclose(rgb, rgb_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(op, op_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(depth, depth_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_garf_coarse_block_duplicate_rays_match_rep_step():
+    """GarfSystemConfig.train_coarse_block: a blocked step on a batch of
+    duplicate-ray blocks must EXACTLY match the unblocked step on just the
+    representative rays — same estimator key/jitter (n_rep rays either way),
+    radiance/camera grads mean-normalize identically over duplicates, and
+    the block-mean interlevel weights reduce to the rep weights."""
+    import dataclasses
+
+    n_rep, blk, n_imgs = 4, 4, 3
+    cfg1 = garf_system.GarfSystemConfig(
+        n_train_images=n_imgs, near=2.0, far=6.0,
+        proposal_samples_per_ray=4, radiance_samples_per_ray=8,
+        net=garf.GarfConfig(init_min=0.5, init_max=2.0),
+    )
+    cfgB = dataclasses.replace(cfg1, train_coarse_block=blk)
+    state = garf_system.init(jax.random.PRNGKey(0), cfg1)
+    tx = garf_system.make_optimizer(cfg1, state.params)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    dirs = jax.random.normal(ks[0], (n_rep, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origs = jax.random.normal(ks[1], (n_rep, 3)) * 0.2
+    rep_batch = {
+        "img_idx": jax.random.randint(ks[2], (n_rep,), 0, n_imgs),
+        "origs_noisy": origs,
+        "dirs_noisy": dirs,
+        "colors": jax.random.uniform(ks[3], (n_rep, 1, 3)),
+    }
+    dup_batch = {k: jnp.repeat(v, blk, axis=0) for k, v in rep_batch.items()}
+    key = jax.random.PRNGKey(3)
+
+    s_rep, m_rep = garf_system.train_step_fused(state, cfg1, tx, rep_batch, key)
+    s_blk, m_blk = garf_system.train_step_fused(state, cfgB, tx, dup_batch, key)
+
+    for k in ("loss", "radiance_loss", "proposal_loss"):
+        np.testing.assert_allclose(
+            m_blk[k], m_rep[k], rtol=1e-5, atol=1e-7, err_msg=k)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_blk.params)[0],
+        jax.tree_util.tree_flatten_with_path(s_rep.params)[0],
+    ):
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=1e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(p)}")
