@@ -33,7 +33,8 @@ FREEZE = os.environ.get("FREEZE_DURING_ANNEAL") == "1"
 # the schedule (0.999 -> sharp at ~53%)
 BLUR_DECAY = os.environ.get("BLUR_DECAY", "0.9995")
 
-steps_per_epoch = 24 * SIZE * SIZE // 1024
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
+steps_per_epoch = VIEWS * SIZE * SIZE // 1024
 epochs = STEPS / steps_per_epoch
 
 env = dict(os.environ)

@@ -16,6 +16,7 @@ SIZE = int(os.environ.get("Q_SIZE", 160))
 STEPS = int(os.environ.get("Q_STEPS", 60000))
 BATCH = int(os.environ.get("Q_BATCH", 1024))
 FUSED = os.environ.get("Q_FUSED", "0") != "0"
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_barf_joint")
 # camera-eps recipe knobs (RESULTS.md probe: eps 1e-2 @ LR 1e-2 doubles
@@ -29,7 +30,7 @@ CAM_ARGS = (
 )
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
-    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+    synthetic.generate_dataset(SCENE, n_train=VIEWS, n_val=4, n_test=6,
                                image_size=SIZE, n_samples=128)
 
 from nerf_experiments_tpu.experiments import run_barf  # noqa: E402

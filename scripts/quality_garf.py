@@ -13,6 +13,7 @@ from nerf_experiments_tpu.data import synthetic
 
 SIZE = int(os.environ.get("Q_SIZE", 128))
 STEPS = int(os.environ.get("Q_STEPS", 50000))
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_garf")
 NOISE = os.environ.get("Q_NOISE", "0.15")          # translation = rotation
@@ -20,12 +21,12 @@ FUSED = os.environ.get("Q_FUSED", "0") == "1"
 EXTRA = os.environ.get("Q_EXTRA", "").split()      # extra CLI flags
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
-    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+    synthetic.generate_dataset(SCENE, n_train=VIEWS, n_val=4, n_test=6,
                                image_size=SIZE, n_samples=128)
 
 from nerf_experiments_tpu.experiments import garf_main  # noqa: E402
 
-steps_per_epoch = 24 * SIZE * SIZE // 1024
+steps_per_epoch = VIEWS * SIZE * SIZE // 1024
 epochs = STEPS / steps_per_epoch
 
 args = garf_main.parse_args([

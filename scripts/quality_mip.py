@@ -21,11 +21,15 @@ from nerf_experiments_tpu.data import synthetic
 SIZE = int(os.environ.get("Q_SIZE", 256))
 STEPS = int(os.environ.get("Q_STEPS", 60000))
 BATCH = int(os.environ.get("Q_BATCH", 4096))
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_mip")
 # sigma schedule: reference uses 200 px at 400^2; scale with resolution
 SIGMA0 = float(os.environ.get("Q_SIGMA0", SIZE / 2))
 SIGMA_END_FRAC = float(os.environ.get("Q_SIGMA_END_FRAC", 0.6))
+# sharp-end capacity (VERDICT r4 #3): MipNeRF-style shared-net hierarchical
+# sampling — 0 keeps the reference's 126 uniform samples
+PROPOSAL = int(os.environ.get("Q_PROPOSAL", 0))
 CAM_LR = os.environ.get("Q_CAM_LR")
 CAM_EPS = os.environ.get("Q_CAM_EPS")
 CAM_ARGS = (
@@ -35,12 +39,13 @@ CAM_ARGS = (
 )
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
-    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+    synthetic.generate_dataset(SCENE, n_train=VIEWS, n_val=4, n_test=6,
                                image_size=SIZE, n_samples=128)
 
 from nerf_experiments_tpu.experiments import run_bip_barf  # noqa: E402
 
 state = run_bip_barf.main(CAM_ARGS + [
+    "--samples_per_ray_proposal", str(PROPOSAL),
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),
     "--camera_origin_noise_sigma", "0.15",
@@ -64,6 +69,7 @@ summary = render_views.main([
     "--ckpt_dir", os.path.join(OUT, "ckpt"),
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", "1024", "--samples_per_ray", "126",
+    "--samples_per_ray_proposal", str(PROPOSAL),
     "--start_blur_sigma", str(SIGMA0),
     "--camera_origin_noise_sigma", "0.15",
     "--camera_rotation_noise_sigma", "0.15",

@@ -24,11 +24,12 @@ BATCH = int(os.environ.get("Q_BATCH", 2048))
 SAMPLES = int(os.environ.get("Q_SAMPLES", 192))
 COARSE = int(os.environ.get("Q_COARSE", 64))
 SEPARATE = os.environ.get("Q_SEPARATE", "0") == "1"
+VIEWS = int(os.environ.get("Q_VIEWS", 24))
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_mip_standalone")
 
 if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
-    synthetic.generate_dataset(SCENE, n_train=24, n_val=4, n_test=6,
+    synthetic.generate_dataset(SCENE, n_train=VIEWS, n_val=4, n_test=6,
                                image_size=SIZE, n_samples=128)
 
 from nerf_experiments_tpu.experiments import render_views, run_mip_nerf  # noqa: E402
