@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--camera_lr", type=float, default=1e-3)
     p.add_argument("--camera_lr_stop", type=float, default=1e-5)
     p.add_argument("--camera_adam_eps", type=float, default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--image_log_period_epochs", type=float, default=None)
     p.add_argument("--samples_per_ray", type=int, default=126)
     p.add_argument("--samples_per_ray_proposal", type=int, default=0)
@@ -140,9 +142,25 @@ def build(args) -> common.BarfExperiment:
     return exp
 
 
+def _maybe_resume(args, exp):
+    """--resume: restore the latest checkpoint in out_dir/ckpt (the
+    reference's `trainer.fit(..., ckpt_path=...)` resume path)."""
+    if not getattr(args, "resume", False):
+        return exp
+    import os
+
+    from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
+    if mgr.latest_step() is not None:
+        exp.state = mgr.restore(exp.state)
+        print(f"resumed from step {mgr.latest_step()}")
+    return exp
+
+
 def main(argv=None):
     args = parse_args(argv)
-    return build(args).fit()
+    return _maybe_resume(args, build(args)).fit()
 
 
 if __name__ == "__main__":

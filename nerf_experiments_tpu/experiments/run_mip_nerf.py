@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--n_segments", type=int, default=2)
     p.add_argument("--use_fourier", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_proposal", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume from the latest checkpoint in out_dir/ckpt")
     p.add_argument("--use_seperate_coarse_fine", action=argparse.BooleanOptionalAction,
                    default=False)
     p.add_argument("--mip_distribute_variance", action=argparse.BooleanOptionalAction,
@@ -118,8 +120,25 @@ def build(args) -> common.BarfExperiment:
     )
 
 
+def _maybe_resume(args, exp):
+    """--resume: restore the latest checkpoint in out_dir/ckpt (the
+    reference's `trainer.fit(..., ckpt_path=...)` resume path)."""
+    if not getattr(args, "resume", False):
+        return exp
+    import os
+
+    from nerf_experiments_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
+    if mgr.latest_step() is not None:
+        exp.state = mgr.restore(exp.state)
+        print(f"resumed from step {mgr.latest_step()}")
+    return exp
+
+
 def main(argv=None):
-    return build(parse_args(argv)).fit()
+    args = parse_args(argv)
+    return _maybe_resume(args, build(args)).fit()
 
 
 if __name__ == "__main__":

@@ -37,7 +37,8 @@ from nerf_experiments_tpu.experiments import run_barf  # noqa: E402
 
 PROPOSAL = int(os.environ.get("Q_PROPOSAL", 64))  # 0 => dense 128
 
-state = run_barf.main((["--fused_kernel"] if FUSED else []) + CAM_ARGS + [
+state = run_barf.main((["--resume"] if os.environ.get("Q_RESUME") else [])
+                      + (["--fused_kernel"] if FUSED else []) + CAM_ARGS + [
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),
     "--samples_per_ray", "128", "--samples_per_ray_proposal", str(PROPOSAL),

@@ -44,7 +44,7 @@ if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
 
 from nerf_experiments_tpu.experiments import run_bip_barf  # noqa: E402
 
-state = run_bip_barf.main(CAM_ARGS + [
+state = run_bip_barf.main((["--resume"] if os.environ.get("Q_RESUME") else []) + CAM_ARGS + [
     "--samples_per_ray_proposal", str(PROPOSAL),
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),

@@ -34,7 +34,7 @@ if not os.path.exists(os.path.join(SCENE, "transforms_train.json")):
 
 from nerf_experiments_tpu.experiments import render_views, run_mip_nerf  # noqa: E402
 
-args = run_mip_nerf.parse_args([
+args = run_mip_nerf.parse_args((["--resume"] if os.environ.get("Q_RESUME") else []) + [
     "--scene_path", SCENE, "--image_size", str(SIZE),
     "--batch_size", str(BATCH), "--max_steps", str(STEPS),
     "--samples_per_ray", str(SAMPLES),

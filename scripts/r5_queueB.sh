@@ -35,7 +35,9 @@ echo "=== B3: BARF 400^2 at 100 views (VERDICT #4a) $(date +%H:%M:%S) ==="
 Q_SIZE=400 Q_STEPS=60000 Q_BATCH=4096 Q_FUSED=1 Q_PROPOSAL=64 \
   Q_VIEWS=100 Q_SCENE=/tmp/netpu_scene_400_v100 \
   Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 Q_OUT=runs/quality_barf_400_v100 \
-  timeout 9000 python -u scripts/quality_barf.py > /tmp/r5/q_barf400v100.log 2>&1
+  timeout 10000 python -u scripts/watchdog_run.py \
+    --out-dir runs/quality_barf_400_v100 --stall-sec 420 -- \
+    python -u scripts/quality_barf.py > /tmp/r5/q_barf400v100.log 2>&1
 echo "barf400v100 exit=$? $(date +%H:%M:%S)"
 python scripts/persist_evidence.py runs/quality_barf_400_v100 --name quality_barf_400_v100 || true
 grep -a "novel_view_summary" /tmp/r5/q_barf400v100.log | head -c 300; echo
@@ -43,8 +45,9 @@ grep -a "novel_view_summary" /tmp/r5/q_barf400v100.log | head -c 300; echo
 echo "=== B4: mip_NeRF standalone at 800^2/100 views (VERDICT #4b) $(date +%H:%M:%S) ==="
 Q_SIZE=800 Q_STEPS=40000 Q_BATCH=2048 Q_VIEWS=100 \
   Q_SCENE=/tmp/netpu_scene_800_v100 Q_OUT=runs/quality_mip_standalone_800 \
-  timeout 10800 python -u scripts/quality_mip_standalone.py \
-  > /tmp/r5/q_mip800.log 2>&1
+  timeout 10800 python -u scripts/watchdog_run.py \
+    --out-dir runs/quality_mip_standalone_800 --stall-sec 420 -- \
+    python -u scripts/quality_mip_standalone.py > /tmp/r5/q_mip800.log 2>&1
 echo "mip800 exit=$? $(date +%H:%M:%S)"
 python scripts/persist_evidence.py runs/quality_mip_standalone_800 --name quality_mip_standalone_800 || true
 grep -a "novel_view_summary" /tmp/r5/q_mip800.log | head -c 300; echo
