@@ -84,15 +84,16 @@ def main():
     # full train step per encoder (bench_ingp config)
     import bench
 
-    for enc in ("matmul", "rolled"):
+    for name, enc, F in (("matmul", "matmul", 8), ("rolled", "rolled", 8),
+                         ("rolled_f4", "rolled", 4)):
         try:
             r = bench.bench_ingp(4096, STEPS, jnp.bfloat16, n_levels=4,
-                                 n_features=8, table_size=16384, encoder=enc)
-            out[f"step_{enc}"] = r
-            print(json.dumps({f"step_{enc}": r}), flush=True)
+                                 n_features=F, table_size=16384, encoder=enc)
+            out[f"step_{name}"] = r
+            print(json.dumps({f"step_{name}": r}), flush=True)
         except Exception as e:  # noqa: BLE001
-            out[f"step_{enc}_error"] = str(e)[:300]
-            print(json.dumps({f"step_{enc}_error": out[f"step_{enc}_error"]}),
+            out[f"step_{name}_error"] = str(e)[:300]
+            print(json.dumps({f"step_{name}_error": out[f"step_{name}_error"]}),
                   flush=True)
 
     print(json.dumps(out))
