@@ -275,7 +275,7 @@ class TestIngpDataParallel:
             adam_eps=1e-15, adam_b2=0.99,
         )
 
-    @pytest.mark.parametrize("encoder", ["gather", "matmul"])
+    @pytest.mark.parametrize("encoder", ["gather", "matmul", "rolled"])
     def test_ingp_pjit_step_matches_single_device(self, encoder):
         cfg = self._ingp_cfg(encoder)
         state = barf_sys.init(jax.random.PRNGKey(0), cfg)
