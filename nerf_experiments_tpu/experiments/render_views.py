@@ -42,7 +42,7 @@ def parse_args(argv=None):
     p.add_argument("--ingp_n_features", type=int, default=2)
     p.add_argument("--ingp_table_size", type=int, default=2**16)
     p.add_argument("--ingp_resolution_max", type=int, default=512)
-    p.add_argument("--ingp_encoder", choices=("fused", "matmul"),
+    p.add_argument("--ingp_encoder", choices=("fused", "matmul", "rolled"),
                    default="fused")
     p.add_argument("--ingp_weight_decay", type=float, default=0.0,
                    help="must match training (the optimizer chain shape "
