@@ -10,6 +10,15 @@ if [ "${1:-}" != "" ]; then
 fi
 echo "=== queueB start $(date +%H:%M:%S) ==="
 
+echo "=== B0: INGP rolled F=4 quality (the >=150k config) $(date +%H:%M:%S) ==="
+Q_SIZE=160 Q_STEPS=12000 Q_BATCH=4096 Q_LEVELS=4 Q_FEATURES=4 \
+  Q_TABLE=16384 Q_ENCODER=rolled Q_SAMPLES=64 Q_COARSE=32 Q_VIEWS=100 \
+  Q_WD=1e-6 Q_OUT=runs/quality_ingp3d_rolled_f4 \
+  timeout 4500 python -u scripts/quality_ingp3d.py > /tmp/r5/q_ingp_f4.log 2>&1
+echo "ingp_f4 exit=$? $(date +%H:%M:%S)"
+python scripts/persist_evidence.py runs/quality_ingp3d_rolled_f4 --name quality_ingp3d_rolled_f4 || true
+grep -a "novel_view_summary" /tmp/r5/q_ingp_f4.log | head -c 300; echo
+
 echo "=== B1: SARF 100k freeze recipe (VERDICT #5) $(date +%H:%M:%S) ==="
 FREEZE_DURING_ANNEAL=1 Q_STEPS=100000 Q_OUT=runs/quality_sarf_100k \
   timeout 7200 python -u scripts/quality_actfam.py sarf \
