@@ -103,6 +103,17 @@ PRESETS: Dict[str, ExperimentPreset] = {
             description="3-D hash-grid NeRF (3d-ingp)",
         ),
         ExperimentPreset(
+            name="ingp3d_fast_rolled",
+            module="run_3d_ingp",
+            argv=("--image_size", "400", "--batch_size", "4096",
+                  "--encoder", "rolled", "--n_levels", "4",
+                  "--n_features", "8", "--table_size", "16384",
+                  "--weight_decay", "1e-6", "--bf16"),
+            description="TPU fast path: rolled additive-hash encoder at the "
+            "quality-validated wide config (r5: 2.1x the matmul config at "
+            "equal val PSNR; RESULTS.md rolled-encoder study)",
+        ),
+        ExperimentPreset(
             name="naive_nerf_lego_400",
             module="run_naive_to_vanilla",
             argv=("--image_size", "400", "--batch_size", "1024",
