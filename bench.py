@@ -473,6 +473,14 @@ def main():
                 table_size=int(os.environ.get("BENCH_INGP_ROLLED_TABLE",
                                               16384)),
                 encoder="rolled")),
+            # F=4 rolled arm — the >=150k config (163.5k in the r5 probe);
+            # quality run: docs/evidence/quality_ingp3d_rolled_f4
+            ("ingp_rolled_f4", lambda: bench_ingp(
+                int(os.environ.get("BENCH_INGP_BATCH", 4096)), steps,
+                compute_dtype, n_levels=4, n_features=4,
+                table_size=int(os.environ.get("BENCH_INGP_ROLLED_TABLE",
+                                              16384)),
+                encoder="rolled")),
             # hybrid Pallas table access: VMEM one-hot forward + XLA
             # transpose (scripts/probe_hash_pallas.py measurements)
             ("ingp_matmul_pallas", lambda: _with_env(
