@@ -9,14 +9,16 @@ Semantics from `2d-ingp/model.py:13-115` and `3d-ingp/model.py:14-121`:
   * geometric level progression b = exp((ln r_max - ln r_min)/(L-1)),
     per-level resolution floor(r_min * b^l).
 
-TPU design: corner gathers are FLATTENED 1-D gathers (multi-dim indexed
-gathers trip a pathological ~300s libtpu compile — see
-`ops/sampling.py:take_along_last`); the backward pass is XLA's scatter-add
-into the table. All levels share one stacked (L, T, F) table parameter;
-`encode` walks the L levels in a small unrolled Python loop (levels differ
-only in resolution, so XLA fuses the unrolled bodies — a vmap over the
-stacked table was measured equivalent and the loop keeps the per-level
-bijective/hash switch in Python).
+TPU design — three encoders over one stacked (L, T, F) table parameter:
+  * `encode` / `encode_fused`: reference xor-hash semantics with FLATTENED
+    1-D gathers (multi-dim indexed gathers trip a pathological ~300s
+    libtpu compile — see `ops/sampling.py:take_along_last`); backward is
+    XLA's scatter-add into the table.
+  * `encode_matmul`: gather-free factorized one-hot MXU path (both table
+    access directions as matmuls) — xor semantics, wins at small tables.
+  * `encode_rolled` (the r5 TPU fast path): ADDITIVE hash, one pre-rolled
+    wide-row gather per point per level — 8x fewer gather transactions;
+    bijective levels bit-identical to `encode`. See its design note below.
 """
 from __future__ import annotations
 
