@@ -17,6 +17,7 @@ STEPS = int(os.environ.get("Q_STEPS", 60000))
 BATCH = int(os.environ.get("Q_BATCH", 1024))
 FUSED = os.environ.get("Q_FUSED", "0") != "0"
 VIEWS = int(os.environ.get("Q_VIEWS", 24))
+CKPT_EPOCHS = os.environ.get("Q_CKPT_EPOCHS", "10")
 SCENE = os.environ.get("Q_SCENE", f"/tmp/netpu_quality_scene_{SIZE}")
 OUT = os.environ.get("Q_OUT", "runs/quality_barf_joint")
 # camera-eps recipe knobs (RESULTS.md probe: eps 1e-2 @ LR 1e-2 doubles
@@ -47,7 +48,7 @@ state = run_barf.main((["--resume"] if os.environ.get("Q_RESUME") else [])
     "--lr_decay_end_step", str(STEPS),
     "--alpha_decay_start_step", str(STEPS // 30),
     "--alpha_decay_end_step", str(STEPS // 2),
-    "--checkpoint_every_n_epochs", "10",
+    "--checkpoint_every_n_epochs", CKPT_EPOCHS,
     "--image_log_period_epochs", "4.0",
     "--bf16",
     "--out_dir", OUT,

@@ -20,7 +20,7 @@ python scripts/persist_evidence.py runs/quality_sarf_100k --name quality_sarf_10
 echo "=== C1: BARF 400^2 at 100 views (VERDICT #4a) $(date +%H:%M:%S) ==="
 Q_SIZE=400 Q_STEPS=60000 Q_BATCH=4096 Q_FUSED=1 Q_PROPOSAL=64 \
   Q_VIEWS=100 Q_SCENE=/tmp/netpu_scene_400_v100 \
-  Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 Q_OUT=runs/quality_barf_400_v100 \
+  Q_CAM_LR=1e-2 Q_CAM_EPS=1e-2 Q_CKPT_EPOCHS=2 Q_OUT=runs/quality_barf_400_v100 \
   timeout 6000 python -u scripts/watchdog_run.py \
     --out-dir runs/quality_barf_400_v100 --stall-sec 420 -- \
     python -u scripts/quality_barf.py > /tmp/r5/q_barf400v100.log 2>&1
