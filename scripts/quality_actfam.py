@@ -59,6 +59,9 @@ env.update({
         # oscillation by A1 (probe winner: 0.60-0.95)
         "--act_anneal_start_epoch", str(A0 * epochs),
         "--act_anneal_end_epoch", str(A1 * epochs),
+        # in-run checkpoints so a queue-timeout cut still leaves a
+        # renderable state (render_garf_ckpt.py recovery path)
+        "--checkpoint_every_n_epochs", str(max(2.0, epochs / 12)),
     ] + (["--camera_freeze_during_anneal"] if FREEZE else [])),
 })
 
