@@ -16,7 +16,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from nerf_experiments_tpu.data import synthetic
+from nerf_experiments_tpu.data import synthetic_fast as synthetic
 
 SIZE = int(os.environ.get("Q_SIZE", 256))
 STEPS = int(os.environ.get("Q_STEPS", 60000))
