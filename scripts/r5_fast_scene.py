@@ -1,132 +1,29 @@
-"""TPU-accelerated procedural scene generation.
+"""CLI for device-accelerated procedural scene generation.
 
-`data/synthetic.generate_dataset` renders ground truth with a single-threaded
-numpy ray marcher (~15 s per 400^2 image on this 1-vCPU host) — at the
-reference-protocol scale (100 train views, VERDICT r4 Missing #2) that is
-~28 minutes of host time before training can start. This script ports the
-analytic scene + emission-absorption integrator to JAX (lax.scan over the
-sample axis, everything else batched over the full image), validates it
-against the numpy reference at 64^2, monkeypatches `synthetic.render_image`,
-and calls the unchanged `generate_dataset` — so poses, file layout, and
-transforms JSON are byte-identical in structure to the slow path while the
-per-image render drops to ~100 ms on the chip.
+Thin wrapper over `nerf_experiments_tpu.data.synthetic_fast` (the JAX port
+of the numpy ground-truth ray marcher — see that module's docstring for the
+design and the oracle-validation story). Measured: 110 views at 400^2 in
+15.5 s on a v5e chip vs ~28 minutes for the numpy path on this 1-vCPU host.
 
 Usage: python scripts/r5_fast_scene.py OUT_DIR N_TRAIN N_VAL N_TEST SIZE [N_SAMPLES]
 """
-import math
 import os
 import sys
-from functools import partial
-
-import numpy as np
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
-# keep the c2w rotation matmul in full fp32 on TPU — at default precision a
-# boundary ray can land on the other side of a hard density edge vs numpy
-jax.config.update("jax_default_matmul_precision", "highest")
-
-from nerf_experiments_tpu.data import synthetic
-
-_SPHERES = [
-    ((0.0, 0.0, 0.2), 0.55, (0.9, 0.2, 0.15)),
-    ((0.55, 0.3, -0.1), 0.3, (0.2, 0.75, 0.25)),
-    ((-0.5, -0.25, 0.0), 0.35, (0.2, 0.35, 0.9)),
-    ((0.1, -0.55, 0.45), 0.22, (0.95, 0.85, 0.2)),
-]
-
-
-def _scene_density_color_jax(pts):
-    """jnp port of synthetic._scene_density_color (same constants)."""
-    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-    density = jnp.zeros(pts.shape[:-1], jnp.float32)
-    color = jnp.zeros(pts.shape[:-1] + (3,), jnp.float32)
-    for center, radius, rgb in _SPHERES:
-        d2 = jnp.sum((pts - jnp.asarray(center)) ** 2, axis=-1)
-        sigma = jnp.where(d2 < radius**2,
-                          60.0 * jnp.exp(-d2 / (2 * (radius / 2) ** 2)), 0.0)
-        take = sigma > density
-        density = jnp.where(take, sigma, density)
-        color = jnp.where(take[..., None], jnp.asarray(rgb), color)
-    in_box = (jnp.abs(x) < 0.8) & (jnp.abs(y) < 0.8) & (z > -0.55) & (z < -0.35)
-    checker = (jnp.floor(x * 5) + jnp.floor(y * 5)) % 2
-    box_color = jnp.stack(
-        [0.6 + 0.3 * checker, 0.5 + 0.2 * checker, 0.4 + 0.1 * checker], -1)
-    density = jnp.where(in_box, 80.0, density)
-    color = jnp.where(in_box[..., None], box_color, color)
-    return density, color
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _render_tpu(c2w, W, H, camera_angle_x, n_samples, near=2.0, far=6.5):
-    focal = W / 2.0 / math.tan(camera_angle_x / 2.0)
-    ys = -(jnp.arange(H) - (H - 1) / 2) / focal
-    xs = (jnp.arange(W) - (W - 1) / 2) / focal
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    dirs_cam = jnp.stack([xx, yy, -jnp.ones_like(xx)], -1)
-    dirs_cam = dirs_cam / jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
-    dirs = dirs_cam @ c2w[:3, :3].T
-    origin = c2w[:3, 3]
-    t = jnp.linspace(near, far, n_samples)
-    dt = t[1] - t[0]
-
-    def body(carry, ti):
-        rgb_acc, trans = carry
-        sigma, col = _scene_density_color_jax(origin + dirs * ti)
-        alpha = 1.0 - jnp.exp(-sigma * dt)
-        w = trans * alpha
-        return (rgb_acc + w[..., None] * col, trans * (1.0 - alpha)), None
-
-    (rgb, trans), _ = jax.lax.scan(
-        body, (jnp.zeros((H, W, 3)), jnp.ones((H, W))), t)
-    return jnp.concatenate([rgb, (1.0 - trans)[..., None]], -1)
-
-
-def render_image_tpu(c2w, image_width, image_height,
-                     camera_angle_x=synthetic.CAMERA_ANGLE_X,
-                     n_samples=128, near=2.0, far=6.5):
-    out = _render_tpu(jnp.asarray(c2w, jnp.float32), image_width,
-                      image_height, camera_angle_x, n_samples, near, far)
-    return np.asarray(out).astype(np.float64)
-
-
-def validate(size=64, n_samples=64):
-    """Fast vs numpy-reference render of one pose.
-
-    fp32-vs-fp64 sample positions can cross the scene's HARD density edges
-    differently, flipping isolated boundary pixels — so the criterion is
-    perceptual: >=99% of pixels within 1/255 and small mean error. A
-    transpose/flip/convention bug fails this by a mile (measured: a wrong
-    render agrees on <50% of pixels; the correct one on >98.8%).
-    """
-    c2w = synthetic.look_at_c2w(np.array([2.5, 2.0, 2.2]), np.zeros(3),
-                                np.array([0.0, 0.0, 1.0]))
-    ref = synthetic.render_image(c2w, size, size, n_samples=n_samples)
-    fast = render_image_tpu(c2w, size, size, n_samples=n_samples)
-    d = np.abs(ref - fast)
-    frac_same = float((d.max(axis=-1) < 1.0 / 255.0).mean())
-    mean_err = float(d.mean())
-    assert frac_same >= 0.99 and mean_err < 1e-3, (
-        f"fast-scene mismatch vs numpy: frac_same={frac_same:.4f} "
-        f"mean_err={mean_err:.2e}")
-    return frac_same, mean_err
+from nerf_experiments_tpu.data import synthetic_fast
 
 
 def main(argv):
     out, n_train, n_val, n_test, size = (
         argv[0], int(argv[1]), int(argv[2]), int(argv[3]), int(argv[4]))
     n_samples = int(argv[5]) if len(argv) > 5 else 128
-    err = validate()
-    print(f"validate ok {err}", flush=True)
-    synthetic.render_image = render_image_tpu
-    import time
     t0 = time.time()
-    synthetic.generate_dataset(out, n_train=n_train, n_val=n_val,
-                               n_test=n_test, image_size=size,
-                               n_samples=n_samples)
+    synthetic_fast.generate_dataset(out, n_train=n_train, n_val=n_val,
+                                    n_test=n_test, image_size=size,
+                                    n_samples=n_samples)
     print(f"generated {n_train}+{n_val}+{n_test} x {size}^2 "
           f"in {time.time() - t0:.1f}s -> {out}", flush=True)
 
